@@ -1,0 +1,93 @@
+"""Model protocol + shared batching utilities.
+
+TPU-native equivalent of the reference model hierarchy
+(ref: src/model/model_base.hpp:17-66, src/model/recsys/recsys_model_base.hpp:18-109).
+The protocol the solver/eval layers rely on:
+
+  reset(data, seed)          -> state (params + optimizer accumulators)
+  train_one_iteration(state, rng_key) -> state       (one epoch)
+  current_loss(state)        -> float (data_loss + penalty_loss)
+  batch_scores(state, uids, rated_items, rated_mask) -> (B, num_items) scores
+  predict(state, users, items) -> per-pair predictions (RMSE/MAE evals)
+
+Training operates on PaddedUserBatch views; ``iter_user_batches`` slices them
+into fixed-size minibatches (last batch padded, weight 0) so every jit step
+sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cdae_tpu.data.dataset import Interactions, PaddedUserBatch
+
+
+@dataclasses.dataclass
+class UserMinibatch:
+    """A fixed-size slice of a PaddedUserBatch (static shapes for jit)."""
+
+    uids: np.ndarray  # (B,)
+    items: np.ndarray  # (B, L) sorted asc, padded with num_items
+    ratings: np.ndarray  # (B, L)
+    mask: np.ndarray  # (B, L) bool
+    lengths: np.ndarray  # (B,)
+    weight: np.ndarray  # (B,) 1.0 for real rows, 0.0 for batch padding
+
+
+def pad_to(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def iter_user_batches(
+    pb: PaddedUserBatch, batch_size: int, order: Optional[np.ndarray] = None
+) -> Iterator[UserMinibatch]:
+    """Slice all users into fixed-size minibatches; pads the last batch."""
+    U = pb.num_users
+    idx = np.arange(U) if order is None else order
+    for start in range(0, U, batch_size):
+        sel = idx[start : start + batch_size]
+        pad = batch_size - len(sel)
+        weight = np.ones(batch_size, dtype=np.float32)
+        if pad > 0:
+            sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+            weight[batch_size - pad :] = 0.0
+        yield UserMinibatch(
+            uids=pb.uids[sel],
+            items=pb.items[sel],
+            ratings=pb.ratings[sel],
+            mask=pb.mask[sel] & (weight[:, None] > 0),
+            lengths=(pb.lengths[sel] * weight.astype(np.int32)),
+            weight=weight,
+        )
+
+
+class RecsysModel:
+    """Base class; concrete models implement the protocol methods."""
+
+    name = "RecsysModel"
+
+    def reset(self, data: Interactions, seed: int = 0):
+        raise NotImplementedError
+
+    def train_one_iteration(self, state, rng_key):
+        raise NotImplementedError
+
+    def current_loss(self, state) -> float:
+        return self.data_loss(state) + self.penalty_loss(state)
+
+    def data_loss(self, state) -> float:
+        return 0.0
+
+    def penalty_loss(self, state) -> float:
+        return 0.0
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        """Full-catalog scores for a user minibatch; (B, num_items)."""
+        raise NotImplementedError
+
+    def predict(self, state, users, items):
+        """Pointwise predictions for (user, item) pairs (RMSE/MAE evals)."""
+        raise NotImplementedError

@@ -1,0 +1,475 @@
+"""CDAE — Collaborative Denoising Auto-Encoder (WSDM'16), TPU-native.
+
+Re-implements the full capability of the reference CDAE
+(ref: src/model/recsys/cdae.hpp) with a TPU-first architecture:
+
+  reference (sequential, per-user)          this build (batched, jit/SPMD)
+  ----------------------------------        ---------------------------------
+  per-user hash-map item sets               padded sorted per-user item rows
+  Bernoulli mask-out per item               on-device corrupt_mask
+  rejection-sampled negatives               exact complement sampling
+                                            (ops/sampling.py, searchsorted)
+  per-row manual backprop + AdaGrad         batched gradient formulas,
+  (cdae.hpp:198-358)                        segment-sum scatter-add, one
+                                            AdaGrad step per minibatch
+  full-catalog heap top-k scan              masked matmul + lax.top_k
+  (cdae.hpp:162-196)
+
+Model math (matching cdae.hpp exactly):
+  corrupted input x̃ ⊂ rated items, kept w.p. (1-q), scale s = 1/(1-q) if scaled
+  h   = s·Σ_{i∈x̃} W_i          (⊙ U_u if linear_function)
+  h  += b (+ W^u_u if user_factor)
+  z   = σ(h) | tanh(h) | h      with the reference's ±18 / ±9 clamps
+  ŷ_o = (V_o|W_o)·z + b'_o      (linear decoder)
+  loss over positives (truth 1) + num_neg·|O_u| sampled negatives (truth 0)
+  per-touch L2 terms and AdaGrad exactly as cdae.hpp:225-357
+
+Parameter init matches cdae.hpp:109-134: U(-s, s) with
+s = 4·sqrt(6/(num_items + num_dim)); accumulators at 1e-4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdae_tpu.data.dataset import Interactions, PaddedUserBatch
+from cdae_tpu.models.base import RecsysModel, UserMinibatch, iter_user_batches
+from cdae_tpu.ops import corruption, sampling
+from cdae_tpu.ops.losses import Loss, LossType
+from cdae_tpu.ops.penalties import Penalty, PenaltyType
+from cdae_tpu.solver.optimizer import ADAGRAD_INIT
+
+
+@dataclasses.dataclass(frozen=True)
+class CDAEConfig:
+    """Mirrors CDAEConfig (ref cdae.hpp:13-31) + TPU batching knobs."""
+
+    lambda_: float = 0.01
+    learn_rate: float = 0.1
+    loss: str = "LOGISTIC"
+    penalty: str = "L2"
+    num_dim: int = 10
+    using_adagrad: bool = True
+    corruption_ratio: float = 0.5
+    num_corruptions: int = 1
+    asymmetric: bool = False
+    user_factor: bool = True
+    linear: bool = False
+    num_neg: int = 5
+    scaled: bool = True
+    beta: float = 0.0
+    linear_function: bool = False
+    tanh: bool = False
+    # --- TPU build knobs (no reference equivalent) ---
+    batch_size: int = 128  # users per synchronous minibatch
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass
+class CDAEState:
+    params: Dict[str, jnp.ndarray]
+    padded: PaddedUserBatch
+    num_users: int
+    num_items: int
+    step: int = 0
+
+
+def _activation(h: jnp.ndarray, linear: bool, tanh: bool) -> jnp.ndarray:
+    """Hidden activation with the reference's clamps (cdae.hpp:391-414)."""
+    if linear:
+        return h
+    if tanh:
+        t = jnp.tanh(h)
+        return jnp.where(h > 9.0, 1.0, jnp.where(h < -9.0, -1.0, t))
+    s = jax.nn.sigmoid(h)
+    return jnp.where(h > 18.0, 1.0, jnp.where(h < -18.0, 0.0, s))
+
+
+class CDAE(RecsysModel):
+    name = "CDAE"
+
+    def __init__(self, config: Optional[CDAEConfig] = None, **kw):
+        self.cfg = config if config is not None else CDAEConfig(**kw)
+        self.loss = Loss.create(self.cfg.loss)
+        self.penalty = Penalty.create(self.cfg.penalty)
+        self._train_step = jax.jit(
+            functools.partial(_train_step, cfg=self.cfg, loss=self.loss),
+            donate_argnums=(0,),
+        )
+        self._data_loss = jax.jit(
+            functools.partial(_data_loss_batch, cfg=self.cfg, loss=self.loss)
+        )
+        self._scores = jax.jit(
+            functools.partial(_batch_scores, cfg=self.cfg)
+        )
+
+    # ------------------------------------------------------------- reset ----
+    def reset(self, data: Interactions, seed: int = 0) -> CDAEState:
+        cfg = self.cfg
+        U, I, D = data.num_users, data.num_items, cfg.num_dim
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 4)
+        s = 4.0 * np.sqrt(6.0 / float(I + D))  # ref cdae.hpp:112
+        dt = cfg.dtype
+        params: Dict[str, jnp.ndarray] = {
+            "W": jax.random.uniform(ks[0], (I, D), dt, -s, s),
+            "W_ag": jnp.full((I, D), ADAGRAD_INIT, dt),
+            "b": jnp.zeros((D,), dt),
+            "b_ag": jnp.full((D,), ADAGRAD_INIT, dt),
+            "b_prime": jnp.zeros((I,), dt),
+            "b_prime_ag": jnp.full((I,), ADAGRAD_INIT, dt),
+        }
+        if cfg.asymmetric:
+            params["V"] = jax.random.uniform(ks[1], (I, D), dt, -s, s)
+            params["V_ag"] = jnp.full((I, D), ADAGRAD_INIT, dt)
+        if cfg.user_factor:
+            params["Wu"] = jax.random.uniform(ks[2], (U, D), dt, -s, s)
+            params["Wu_ag"] = jnp.full((U, D), ADAGRAD_INIT, dt)
+        if cfg.linear_function:
+            params["Uu"] = jnp.ones((U, D), dt)
+            params["Uu_ag"] = jnp.full((U, D), ADAGRAD_INIT, dt)
+        return CDAEState(
+            params=params, padded=data.padded(), num_users=U, num_items=I
+        )
+
+    # ------------------------------------------------------------- train ----
+    def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
+        cfg = self.cfg
+        params = state.params
+        for batch in iter_user_batches(state.padded, cfg.batch_size):
+            for c in range(cfg.num_corruptions):
+                rng_key, sub = jax.random.split(rng_key)
+                params = self._train_step(
+                    params,
+                    jnp.asarray(batch.uids),
+                    jnp.asarray(batch.items),
+                    jnp.asarray(batch.mask),
+                    jnp.asarray(batch.lengths),
+                    jnp.asarray(batch.weight),
+                    sub,
+                )
+        state.params = params
+        state.step += 1
+        return state
+
+    # -------------------------------------------------------------- loss ----
+    def data_loss(self, state: CDAEState, rng_key=None) -> float:
+        """Reconstruction loss over positives under fresh corruption
+        (ref cdae.hpp:78-101)."""
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(state.step)
+        total = 0.0
+        for batch in iter_user_batches(state.padded, self.cfg.batch_size):
+            rng_key, sub = jax.random.split(rng_key)
+            total += float(
+                self._data_loss(
+                    state.params,
+                    jnp.asarray(batch.uids),
+                    jnp.asarray(batch.items),
+                    jnp.asarray(batch.mask),
+                    jnp.asarray(batch.weight),
+                    sub,
+                )
+            )
+        return total
+
+    def penalty_loss(self, state: CDAEState) -> float:
+        """0.5·λ·(‖W‖+‖V‖+‖Wu‖+‖b‖+‖b'‖) (ref cdae.hpp:103-107; Uu exempt)."""
+        p = state.params
+        pen = self.penalty.evaluate
+        total = pen(p["W"]) + pen(p["b"]) + pen(p["b_prime"])
+        if "V" in p:
+            total += pen(p["V"])
+        if "Wu" in p:
+            total += pen(p["Wu"])
+        return float(0.5 * self.cfg.lambda_ * total)
+
+    # ----------------------------------------------------------- scoring ----
+    def batch_scores(self, state: CDAEState, uids, rated_items, rated_mask):
+        """Full-catalog decode for given users (ref cdae.hpp:162-186).
+
+        Uses the UNCORRUPTED input and scale=1 exactly like the reference's
+        recommend(); if corruption_ratio == 1 the input is emptied."""
+        return self._scores(
+            state.params,
+            jnp.asarray(uids),
+            jnp.asarray(rated_items),
+            jnp.asarray(rated_mask),
+        )
+
+    def user_representations(self, state: CDAEState) -> np.ndarray:
+        """Hidden codes for all users (ref cdae.hpp:148-159)."""
+        out = []
+        for batch in iter_user_batches(state.padded, self.cfg.batch_size):
+            z = _hidden(
+                state.params,
+                jnp.asarray(batch.uids),
+                jnp.asarray(batch.items),
+                jnp.asarray(batch.mask),
+                1.0,
+                self.cfg,
+            )
+            out.append(np.asarray(z)[batch.weight > 0])
+        return np.concatenate(out, axis=0)
+
+    def predict(self, state: CDAEState, users, items):
+        users = jnp.asarray(users)
+        items = jnp.asarray(items)
+        pb = state.padded
+        z = _hidden(
+            state.params,
+            users,
+            jnp.asarray(pb.items[np.asarray(users)]),
+            jnp.asarray(pb.mask[np.asarray(users)]),
+            1.0,
+            self.cfg,
+        )
+        dec = state.params["V"] if self.cfg.asymmetric else state.params["W"]
+        return jnp.sum(dec[items] * z, axis=-1) + state.params["b_prime"][items]
+
+
+# ===================================================================== jit ==
+
+def _hidden(
+    params, uids, items, keep_mask, scale, cfg: CDAEConfig
+) -> jnp.ndarray:
+    """z = act(scale·Σ W_i (⊙Uu) + b (+Wu)) (ref cdae.hpp:373-416)."""
+    kf = keep_mask.astype(params["W"].dtype)
+    rows = params["W"][jnp.clip(items, 0, params["W"].shape[0] - 1)]
+    h = jnp.einsum("bld,bl->bd", rows, kf) * scale
+    if cfg.linear_function:
+        h = params["Uu"][uids] * h
+    h = h + params["b"][None, :]
+    if cfg.user_factor:
+        h = h + params["Wu"][uids]
+    return _activation(h, cfg.linear, cfg.tanh)
+
+
+def _z_one_minus_z(z: jnp.ndarray, cfg: CDAEConfig) -> jnp.ndarray:
+    """Activation derivative factor (ref cdae.hpp:208-215)."""
+    if cfg.linear:
+        return jnp.ones_like(z)
+    if cfg.tanh:
+        return 1.0 - z * z
+    return z - z * z
+
+
+def _decode_at(params, z, item_ids, cfg: CDAEConfig):
+    """ŷ_o = (V|W)_o·z + b'_o for gathered item ids (ref cdae.hpp:418-426)."""
+    table = params["V"] if cfg.asymmetric else params["W"]
+    rows = table[jnp.clip(item_ids, 0, table.shape[0] - 1)]
+    preds = jnp.einsum("bnd,bd->bn", rows, z) + params["b_prime"][
+        jnp.clip(item_ids, 0, table.shape[0] - 1)
+    ]
+    return preds, rows
+
+
+def _train_step(
+    params: Dict[str, jnp.ndarray],
+    uids: jnp.ndarray,  # (B,)
+    items: jnp.ndarray,  # (B, L) sorted asc, padded with num_items
+    mask: jnp.ndarray,  # (B, L) bool
+    lengths: jnp.ndarray,  # (B,)
+    weight: jnp.ndarray,  # (B,) 0/1
+    key: jax.Array,
+    *,
+    cfg: CDAEConfig,
+    loss: Loss,
+) -> Dict[str, jnp.ndarray]:
+    """One synchronous minibatch step = the batched equivalent of
+    train_one_user_corruption over B users (ref cdae.hpp:198-358)."""
+    I, D = params["W"].shape
+    B, L = items.shape
+    lam = cfg.lambda_
+    lr = cfg.learn_rate
+    beta = cfg.beta
+    k_corrupt, k_neg = jax.random.split(key)
+
+    w_user = weight.astype(params["W"].dtype)  # (B,)
+    mask_f = mask.astype(params["W"].dtype) * w_user[:, None]
+
+    # ---- forward ----
+    keep = corruption.corrupt_mask(k_corrupt, mask, cfg.corruption_ratio)
+    keep = jnp.logical_and(keep, weight[:, None] > 0)
+    keep_f = keep.astype(params["W"].dtype)
+    scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
+    z = _hidden(params, uids, items, keep, scale, cfg)  # (B, D)
+    dz = _z_one_minus_z(z, cfg)  # (B, D)
+
+    # ---- negatives: num_neg per positive, exact complement sampling ----
+    n_neg = max(cfg.num_neg * L, 1)
+    neg = sampling.sample_unrated(k_neg, items, lengths, I, n_neg)  # (B, Nn)
+    neg_mask_f = jnp.tile(mask_f, (1, cfg.num_neg)) if cfg.num_neg > 0 else (
+        jnp.zeros((B, n_neg), mask_f.dtype)
+    )
+
+    # ---- output-side gradients ----
+    pred_pos, dec_pos = _decode_at(params, z, items, cfg)  # (B,L), (B,L,D)
+    g_pos = loss.gradient(pred_pos, 1.0) * mask_f  # ref cdae.hpp:228
+    pred_neg, dec_neg = _decode_at(params, z, neg, cfg)
+    g_neg = loss.gradient(pred_neg, 0.0) * neg_mask_f  # ref cdae.hpp:265
+
+    items_c = jnp.clip(items, 0, I - 1)
+    # b': per-touch grad g + λ·b' (ref cdae.hpp:231, :268)
+    d_bp = (
+        jnp.zeros((I,), params["b_prime"].dtype)
+        .at[items]
+        .add((g_pos + lam * params["b_prime"][items_c]) * mask_f, mode="drop")
+        .at[neg]
+        .add((g_neg + lam * params["b_prime"][neg]) * neg_mask_f, mode="drop")
+    )
+
+    # hidden gradient Σ_o g_o · dec_o (ref cdae.hpp:240/248/277/285)
+    hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos) + jnp.einsum(
+        "bn,bnd->bd", g_neg, dec_neg
+    )
+    hg = hidden_grad * dz  # (B, D)
+
+    # ---- decoder-table gradients ----
+    if cfg.asymmetric:
+        # all outputs update V with g·z + λ·V_o (ref cdae.hpp:241-246, 278-283)
+        d_V = (
+            jnp.zeros_like(params["V"])
+            .at[items]
+            .add(
+                (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
+                * mask_f[..., None],
+                mode="drop",
+            )
+            .at[neg]
+            .add(
+                (g_neg[..., None] * z[:, None, :] + lam * dec_neg)
+                * neg_mask_f[..., None],
+                mode="drop",
+            )
+        )
+        d_W_out = jnp.zeros_like(params["W"])
+    else:
+        # positives KEPT in the corrupted input defer their g·z to the
+        # input-side update (ref cdae.hpp:249-251); dropped positives and all
+        # negatives update W directly with g·z + λ·W_o (ref :252-257, :285-291)
+        direct_pos = mask_f * (1.0 - keep_f)
+        d_W_out = (
+            jnp.zeros_like(params["W"])
+            .at[items]
+            .add(
+                (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
+                * direct_pos[..., None],
+                mode="drop",
+            )
+            .at[neg]
+            .add(
+                (g_neg[..., None] * z[:, None, :] + lam * dec_neg)
+                * neg_mask_f[..., None],
+                mode="drop",
+            )
+        )
+
+    # ---- input-side (encoder) gradients for kept items ----
+    # grad_j = hg·scale (⊙Uu) + λ·W_j (+ g_j·z for the deferred positive term)
+    # (ref cdae.hpp:333-349)
+    if cfg.linear_function:
+        base = (params["Uu"][uids] * hg) * scale  # (B, D)
+    else:
+        base = hg * scale
+    W_in_rows = params["W"][items_c]  # (B, L, D)
+    in_grad = (
+        base[:, None, :]
+        + lam * W_in_rows
+        + (0.0 if cfg.asymmetric else g_pos[..., None] * z[:, None, :])
+    ) * keep_f[..., None]
+    # NOTE (asymmetric): ref accumulates input_gradient only in the non-asym
+    # branch (cdae.hpp:247-259); asym inputs get hg·scale + λ·W_j only.
+    d_W_in = jnp.zeros_like(params["W"]).at[items].add(in_grad, mode="drop")
+    d_W = d_W_out + d_W_in
+
+    # ---- apply AdaGrad (accumulate-then-apply per batch) ----
+    def dense_step(name, grad):
+        p, a = params[name], params[name + "_ag"]
+        if cfg.using_adagrad:
+            a = a + grad * grad
+            p = p - lr * grad / (beta + jnp.sqrt(a))
+        else:
+            p = p - lr * grad
+        params[name], params[name + "_ag"] = p, a
+
+    params = dict(params)
+    dense_step("W", d_W)
+    dense_step("b_prime", d_bp)
+    if cfg.asymmetric:
+        dense_step("V", d_V)
+
+    # b: per-user grad hg + λ·b (ref cdae.hpp:301-315)
+    d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
+    dense_step("b", d_b)
+
+    # Wu rows (ref cdae.hpp:317-331); uids unique within a batch
+    if cfg.user_factor:
+        g_wu = (hg + lam * params["Wu"][uids]) * w_user[:, None]
+        p, a = params["Wu"], params["Wu_ag"]
+        if cfg.using_adagrad:
+            a_rows = a[uids] + g_wu * g_wu
+            p_rows = p[uids] - lr * g_wu / (beta + jnp.sqrt(a_rows))
+            a = a.at[uids].set(
+                jnp.where(w_user[:, None] > 0, a_rows, a[uids]), mode="drop"
+            )
+        else:
+            p_rows = p[uids] - lr * g_wu
+        p = p.at[uids].set(
+            jnp.where(w_user[:, None] > 0, p_rows, p[uids]), mode="drop"
+        )
+        params["Wu"], params["Wu_ag"] = p, a
+
+    # Uu rows (ref cdae.hpp:295-299, 340, 351-357)
+    if cfg.linear_function:
+        sum_kept_W = jnp.einsum("bld,bl->bd", W_in_rows, keep_f)
+        g_uu = (lam * params["Uu"][uids] + hg * sum_kept_W) * w_user[:, None]
+        p, a = params["Uu"], params["Uu_ag"]
+        if cfg.using_adagrad:
+            a_rows = a[uids] + g_uu * g_uu
+            p_rows = p[uids] - lr * g_uu / (beta + jnp.sqrt(a_rows))
+            a = a.at[uids].set(
+                jnp.where(w_user[:, None] > 0, a_rows, a[uids]), mode="drop"
+            )
+        else:
+            p_rows = p[uids] - lr * g_uu
+        p = p.at[uids].set(
+            jnp.where(w_user[:, None] > 0, p_rows, p[uids]), mode="drop"
+        )
+        params["Uu"], params["Uu_ag"] = p, a
+
+    return params
+
+
+def _data_loss_batch(
+    params, uids, items, mask, weight, key, *, cfg: CDAEConfig, loss: Loss
+) -> jnp.ndarray:
+    """Σ_users Σ_corruptions loss(ŷ_i, 1) / num_corruptions
+    (ref cdae.hpp:78-101; positives only)."""
+    total = jnp.float32(0.0)
+    mask_f = mask.astype(params["W"].dtype) * weight[:, None]
+    for c in range(cfg.num_corruptions):
+        key, sub = jax.random.split(key)
+        keep = corruption.corrupt_mask(sub, mask, cfg.corruption_ratio)
+        scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
+        z = _hidden(params, uids, items, keep, scale, cfg)
+        preds, _ = _decode_at(params, z, items, cfg)
+        total = total + jnp.sum(loss.evaluate(preds, 1.0) * mask_f)
+    return total / cfg.num_corruptions
+
+
+def _batch_scores(params, uids, rated_items, rated_mask, *, cfg: CDAEConfig):
+    """(B, I) decoder scores from the uncorrupted input (ref cdae.hpp:162-186)."""
+    if cfg.corruption_ratio == 1.0:
+        in_mask = jnp.zeros_like(rated_mask)
+    else:
+        in_mask = rated_mask
+    z = _hidden(params, uids, rated_items, in_mask, 1.0, cfg)
+    table = params["V"] if cfg.asymmetric else params["W"]
+    return z @ table.T + params["b_prime"][None, :]

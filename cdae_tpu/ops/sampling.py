@@ -1,0 +1,46 @@
+"""On-device negative sampling.
+
+The reference rejection-samples uniform item ids until one is outside the
+user's rated set (ref: src/model/recsys/recsys_model_base.hpp:46-70). That
+data-dependent loop is hostile to XLA; we instead sample EXACTLY from the
+complement of the rated set in closed form:
+
+Given a user's rated items R sorted ascending (padded with num_items), the
+u-th unrated item (u in [0, num_items - |R|)) is ``u + k`` where k is the
+number of rated items r_j with ``r_j - j <= u``. Since ``R[j] - j`` is
+non-decreasing, k is one searchsorted. This is an exact, rejection-free
+equivalent of uniform sampling over unrated items.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_unrated(
+    key: jax.Array,
+    sorted_items: jnp.ndarray,  # (B, L) int32, ascending, padded with num_items
+    lengths: jnp.ndarray,  # (B,) int32 — number of real (unpadded) entries
+    num_items: int,
+    num_samples: int,
+) -> jnp.ndarray:
+    """Uniform samples from each user's UNRATED items; (B, num_samples) int32.
+
+    Rows where lengths == num_items would have an empty complement; callers
+    must mask such rows (they also carry zero training weight).
+    """
+    B, L = sorted_items.shape
+    free = jnp.maximum(num_items - lengths, 1)  # complement size per user
+    u = jax.random.randint(
+        key, (B, num_samples), minval=0, maxval=free[:, None], dtype=jnp.int32
+    )  # uniform over [0, free) per row; free >= 1
+    # rank transform: R[j] - j is the count of unrated ids below R[j].
+    # Padded slots must not perturb the (sorted) rank array: force them to
+    # num_items, which exceeds every valid query u <= num_items - |R| - 1.
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < lengths[:, None]
+    ranks = jnp.where(valid, sorted_items - pos, num_items)
+    # k = number of rated ids skipped before reaching the u-th unrated id
+    k = jax.vmap(jnp.searchsorted, in_axes=(0, 0, None))(ranks, u, "right")
+    return (u + k).astype(jnp.int32)

@@ -1,0 +1,66 @@
+"""AdaGrad-style updates used across the model zoo.
+
+The reference updates parameters per-touch with per-coordinate AdaGrad
+accumulators initialized at 1e-4 and step ``lr * g / (beta + sqrt(acc))``
+(e.g. ref src/model/recsys/cdae.hpp:230-236, imf.hpp:95-106). The TPU build
+accumulates gradients over a synchronous user minibatch (segment-sum) and
+applies one AdaGrad step per batch — the standard accelerator reformulation
+of Hogwild-style per-example updates.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+ADAGRAD_INIT = 1e-4  # ref: DMatrix::Constant(..., 0.0001) accumulators
+
+
+def adagrad_update(
+    param: jnp.ndarray,
+    acc: jnp.ndarray,
+    grad: jnp.ndarray,
+    learn_rate: float,
+    beta: float = 0.0,
+    use_adagrad: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense AdaGrad step. Zero-gradient coordinates are untouched."""
+    if use_adagrad:
+        acc = acc + grad * grad
+        param = param - learn_rate * grad / (beta + jnp.sqrt(acc))
+    else:
+        param = param - learn_rate * grad
+    return param, acc
+
+
+def adagrad_row_update(
+    param: jnp.ndarray,  # (N, D) or (N,)
+    acc: jnp.ndarray,
+    rows: jnp.ndarray,  # (B,) int32 — must be unique within the batch
+    grad_rows: jnp.ndarray,  # (B, D) or (B,)
+    row_weight: jnp.ndarray,  # (B,) 0/1 — padded batch rows get 0
+    learn_rate: float,
+    beta: float = 0.0,
+    use_adagrad: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse row-wise AdaGrad step (gather → update → scatter-back)."""
+    w = row_weight.astype(param.dtype)
+    w = w.reshape((-1,) + (1,) * (grad_rows.ndim - 1))
+    g = grad_rows * w
+    p_rows = param[rows]
+    a_rows = acc[rows]
+    if use_adagrad:
+        a_new = a_rows + g * g
+        p_new = p_rows - learn_rate * g / (beta + jnp.sqrt(a_new))
+        acc = acc.at[rows].set(a_new, mode="drop")
+    else:
+        p_new = p_rows - learn_rate * g
+    param = param.at[rows].set(p_new, mode="drop")
+    return param, acc
+
+
+def inverse_time_decay(lr0: float, reg: float, steps: jnp.ndarray) -> jnp.ndarray:
+    """SGD learn-rate schedule lr0 / (1 + lr0*reg*steps)
+    (ref src/solver/sgd-inl.hpp:84-91; off by default)."""
+    return lr0 / (1.0 + lr0 * reg * steps)

@@ -1,0 +1,292 @@
+"""Ops-layer tests: losses vs autodiff & reference formulas, sampling,
+corruption stats, top-k vs argsort, metrics vs a straightforward host loop."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdae_tpu.ops import corruption, metrics, sampling, topk
+from cdae_tpu.ops.losses import Loss, LossType
+from cdae_tpu.ops.penalties import Penalty, PenaltyType
+
+
+# ---------------------------------------------------------------- losses ----
+
+def ref_loss_eval(name, pred, truth):
+    """Scalar reference-math implementations (ref src/model/loss.hpp)."""
+    if name == "SQUARE":
+        return (truth - pred) ** 2
+    if name == "LOGISTIC":
+        return -math.log(max(1e-4, pred if truth == 1.0 else 1.0 - pred))
+    if name == "CROSS_ENTROPY":
+        ret = (1 - truth) * pred
+        if pred > 18:
+            return ret + math.exp(-pred)
+        if pred < -18:
+            return ret - pred
+        return ret + math.log1p(math.exp(-pred))
+    if name in ("LOG", "LOGM", "HINGE", "SQUARED_HINGE"):
+        z = pred * truth if name != "LOGM" else pred
+        if name == "LOG":
+            if z > 18: return math.exp(-z)
+            if z < -18: return -z
+            return math.log1p(math.exp(-z))
+        if name == "LOGM":
+            if z > 18: return truth * math.exp(-z)
+            if z < -18: return -z * truth
+            return truth * math.log1p(math.exp(-pred))
+        if name == "HINGE":
+            return max(0.0, 1.0 - pred * truth)
+        d = max(0.0, 1.0 - pred * truth)
+        return 0.5 * d * d
+    raise ValueError(name)
+
+
+LOSS_CASES = [
+    ("SQUARE", [0.3, -2.0, 20.0], [1.0, 0.0]),
+    ("LOGISTIC", [0.2, 0.5, 0.99], [1.0, 0.0]),
+    ("CROSS_ENTROPY", [-25.0, -3.0, 0.0, 3.0, 25.0], [1.0, 0.0]),
+    ("LOG", [-25.0, -3.0, 0.5, 3.0, 25.0], [1.0, -1.0]),
+    ("LOGM", [-25.0, -3.0, 0.5, 3.0, 25.0], [1.0, -1.0]),
+    ("HINGE", [-2.0, 0.5, 2.0], [1.0, -1.0]),
+    ("SQUARED_HINGE", [-2.0, 0.5, 2.0], [1.0, -1.0]),
+]
+
+
+@pytest.mark.parametrize("name,preds,truths", LOSS_CASES)
+def test_loss_eval_matches_reference_math(name, preds, truths):
+    loss = Loss.create(name)
+    for p in preds:
+        for t in truths:
+            got = float(loss.evaluate(jnp.float32(p), jnp.float32(t)))
+            want = ref_loss_eval(name, p, t)
+            # f32 exp/log + cancellation (e.g. CE at pred=-3) costs ~1e-4 abs
+            assert got == pytest.approx(want, rel=1e-4, abs=2e-4), (name, p, t)
+
+
+@pytest.mark.parametrize("name,preds,truths", LOSS_CASES)
+def test_loss_gradient_matches_autodiff(name, preds, truths):
+    loss = Loss.create(name)
+    g = jax.grad(lambda p, t: loss.evaluate(p, t).sum())
+    for p in preds:
+        for t in truths:
+            if name == "LOGISTIC" and not (1e-6 < p < 1 - 1e-6):
+                continue
+            # skip saturated/kink regions where the clamped eval is flat
+            if name in ("CROSS_ENTROPY",) and abs(p) > 18:
+                continue
+            if name in ("LOG",) and abs(p * t) > 18:
+                continue
+            if name == "LOGM" and abs(p) > 18:
+                continue
+            if name in ("HINGE", "SQUARED_HINGE") and abs(p * t - 1.0) < 1e-3:
+                continue
+            if name == "LOGISTIC" and t == 0.0 and p > 1 - 1e-4:
+                continue  # eval floor kicks in; gradient formula differs
+            got = float(loss.gradient(jnp.float32(p), jnp.float32(t)))
+            want = float(g(jnp.float32(p), jnp.float32(t)))
+            assert got == pytest.approx(want, rel=2e-4, abs=1e-5), (name, p, t)
+
+
+def test_loss_label_conventions():
+    for name, neg in [("SQUARE", 0.0), ("LOGISTIC", 0.0), ("CROSS_ENTROPY", 0.0),
+                      ("LOG", -1.0), ("LOGM", -1.0), ("HINGE", -1.0),
+                      ("SQUARED_HINGE", -1.0)]:
+        l = Loss.create(name)
+        assert l.positive_label == 1.0
+        assert l.negative_label == neg
+
+
+def test_penalties():
+    m = jnp.array([[1.0, -2.0], [3.0, 0.0]])
+    assert float(Penalty.create("L2").evaluate(m)) == pytest.approx(14.0)
+    assert float(Penalty.create("L1").evaluate(m)) == pytest.approx(6.0)
+    assert Penalty.create(PenaltyType.L2).is_smooth
+    assert not Penalty.create(PenaltyType.L1).is_smooth
+
+
+# -------------------------------------------------------------- sampling ----
+
+def test_sample_unrated_never_hits_rated():
+    num_items = 50
+    rated = np.array([
+        [1, 3, 7, 49, num_items, num_items],
+        [0, 1, 2, 3, 4, 5],
+        [num_items] * 6,  # user with no interactions
+    ], dtype=np.int32)
+    lengths = np.array([4, 6, 0], dtype=np.int32)
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(sampling.sample_unrated(
+        key, jnp.asarray(rated), jnp.asarray(lengths), num_items, 2000
+    ))
+    assert out.min() >= 0 and out.max() < num_items
+    for b in range(3):
+        rated_set = set(rated[b, : lengths[b]].tolist())
+        assert not (set(out[b].tolist()) & rated_set)
+
+
+def test_sample_unrated_uniform_over_complement():
+    num_items = 10
+    rated = np.array([[2, 5, 8, num_items]], dtype=np.int32)
+    lengths = np.array([3], dtype=np.int32)
+    out = np.asarray(sampling.sample_unrated(
+        jax.random.PRNGKey(1), jnp.asarray(rated), jnp.asarray(lengths),
+        num_items, 70_000,
+    ))[0]
+    counts = np.bincount(out, minlength=num_items)
+    assert counts[[2, 5, 8]].sum() == 0
+    complement = [0, 1, 3, 4, 6, 7, 9]
+    freq = counts[complement] / counts.sum()
+    assert np.abs(freq - 1 / 7).max() < 0.01
+
+
+# ------------------------------------------------------------ corruption ----
+
+def test_corrupt_mask_rate():
+    mask = jnp.ones((200, 100), dtype=bool)
+    kept = corruption.corrupt_mask(jax.random.PRNGKey(2), mask, 0.5)
+    rate = float(jnp.mean(kept.astype(jnp.float32)))
+    assert abs(rate - 0.5) < 0.02
+    # ratio 0 keeps everything; padding stays masked
+    mask2 = mask.at[:, 50:].set(False)
+    kept2 = corruption.corrupt_mask(jax.random.PRNGKey(3), mask2, 0.0)
+    assert bool(jnp.all(kept2 == mask2))
+    assert corruption.input_scale(0.5, True) == pytest.approx(2.0)
+    assert corruption.input_scale(0.5, False) == 1.0
+    assert corruption.input_scale(1.0, True) == 1.0
+
+
+# ------------------------------------------------------------------ topk ----
+
+def test_topk_unrated_matches_argsort():
+    rng = np.random.default_rng(0)
+    B, I, L, K = 4, 37, 5, 10
+    scores = rng.normal(size=(B, I)).astype(np.float32)
+    rated = np.full((B, L), I, dtype=np.int32)
+    for b in range(B):
+        n = rng.integers(0, L + 1)
+        rated[b, :n] = np.sort(rng.choice(I, size=n, replace=False))
+    ids, vals = topk.topk_unrated(jnp.asarray(scores), jnp.asarray(rated), K)
+    ids = np.asarray(ids)
+    for b in range(B):
+        rated_set = set(rated[b][rated[b] < I].tolist())
+        order = [i for i in np.argsort(-scores[b], kind="stable")
+                 if i not in rated_set][:K]
+        assert ids[b].tolist() == order
+
+
+# --------------------------------------------------------------- metrics ----
+
+def host_topn_eval(rec_list, val_map):
+    """Direct port of the reference evaluate_rec_list loop semantics
+    (ref src/model/evaluation.hpp:183-218) as plain Python."""
+    rets = [0.0] * 8
+    hit = 0.0
+    map5 = map10 = 0.0
+    for idx in range(min(20, len(rec_list))):
+        if rec_list[idx] in val_map:
+            hit += 1.0
+            if idx < 5:
+                map5 += hit / (idx + 1)
+            if idx < 10:
+                map10 += hit / (idx + 1)
+        if idx == 0:
+            rets[0] = hit / 1.0
+            rets[3] = hit / len(val_map)
+        elif idx == 4:
+            rets[1] = hit / 5.0
+            rets[4] = hit / len(val_map)
+        elif idx == 9:
+            rets[2] = hit / 10.0
+            rets[5] = hit / len(val_map)
+    rets[6] = map5 / min(5, len(val_map))
+    rets[7] = map10 / min(10, len(val_map))
+    return rets
+
+
+def test_topn_metrics_match_reference_loop():
+    rng = np.random.default_rng(3)
+    B, I, Lv = 6, 40, 7
+    rec = np.stack([rng.choice(I, size=10, replace=False) for _ in range(B)])
+    val_items = np.full((B, Lv), I, dtype=np.int32)
+    val_mask = np.zeros((B, Lv), dtype=bool)
+    for b in range(B):
+        n = rng.integers(1, Lv + 1)
+        val_items[b, :n] = rng.choice(I, size=n, replace=False)
+        val_mask[b, :n] = True
+    rows = np.asarray(metrics.topn_user_metrics(
+        jnp.asarray(rec, dtype=jnp.int32), jnp.asarray(val_items),
+        jnp.asarray(val_mask),
+    ))
+    for b in range(B):
+        vm = {int(i): 1.0 for i in val_items[b][val_mask[b]]}
+        want = host_topn_eval(rec[b].tolist(), vm)
+        np.testing.assert_allclose(rows[b], want, rtol=1e-5, atol=1e-6)
+
+
+def host_ranking_eval(rec_list, val_map):
+    """Port of the RANKING evaluate_rec_list (ref evaluation.hpp:309-361)."""
+    rets = [0.0] * 8
+    gt = sorted(val_map.items(), key=lambda kv: -kv[1])
+    DCG5 = DCG10 = IDCG5 = IDCG10 = 0.0
+    hit5 = hit10 = map5 = map10 = 0.0
+    for idx in range(10):
+        if idx < len(val_map):
+            if idx < 5:
+                IDCG5 += (2 ** gt[idx][1] - 1.0) / math.log(idx + 2.0)
+            IDCG10 += (2 ** gt[idx][1] - 1.0) / math.log(idx + 2.0)
+        iid = rec_list[idx]
+        if iid in val_map:
+            if idx < 5:
+                DCG5 += (2 ** val_map[iid] - 1.0) / math.log(idx + 2.0)
+            DCG10 += (2 ** val_map[iid] - 1.0) / math.log(idx + 2.0)
+            if val_map[iid] >= 4.0:
+                if idx < 5:
+                    hit5 += 1.0
+                    map5 += hit5 / (idx + 1.0)
+                hit10 += 1.0
+                map10 += hit10 / (idx + 1.0)
+    rets[0] = DCG5 / IDCG5 if IDCG5 else 0.0
+    rets[1] = DCG10 / IDCG10 if IDCG10 else 0.0
+    rets[2] = hit5 / 5.0
+    rets[3] = hit10 / 10.0
+    num_rels = sum(1 for v in val_map.values() if v >= 4.0)
+    if num_rels > 0:
+        rets[4] = hit5 / num_rels
+        rets[5] = hit10 / num_rels
+        rets[6] = map5 / min(5.0, len(val_map))
+        rets[7] = map10 / min(10.0, len(val_map))
+    return rets
+
+
+def test_ranking_metrics_match_reference_loop():
+    rng = np.random.default_rng(4)
+    B, I, Lv = 6, 40, 8
+    rec = np.stack([rng.choice(I, size=10, replace=False) for _ in range(B)])
+    val_items = np.full((B, Lv), I, dtype=np.int32)
+    val_ratings = np.zeros((B, Lv), dtype=np.float32)
+    val_mask = np.zeros((B, Lv), dtype=bool)
+    for b in range(B):
+        n = rng.integers(1, Lv + 1)
+        val_items[b, :n] = rng.choice(I, size=n, replace=False)
+        val_ratings[b, :n] = rng.integers(1, 6, size=n)
+        val_mask[b, :n] = True
+    rows = np.asarray(metrics.ranking_user_metrics(
+        jnp.asarray(rec, dtype=jnp.int32), jnp.asarray(val_items),
+        jnp.asarray(val_ratings), jnp.asarray(val_mask),
+    ))
+    for b in range(B):
+        vm = {int(i): float(r) for i, r, m in
+              zip(val_items[b], val_ratings[b], val_mask[b]) if m}
+        want = host_ranking_eval(rec[b].tolist(), vm)
+        np.testing.assert_allclose(rows[b], want, rtol=1e-4, atol=1e-5)
+
+
+def test_rmse_mae():
+    p = jnp.array([1.0, 2.0, 3.0])
+    l = jnp.array([1.0, 1.0, 5.0])
+    assert float(metrics.rmse(p, l)) == pytest.approx(math.sqrt(5 / 3))
+    assert float(metrics.mae(p, l)) == pytest.approx(1.0)
