@@ -1,0 +1,184 @@
+"""Training orchestration (ref: src/solver/solver.hpp:11-46, solver-inl.hpp:5-112).
+
+``Solver`` owns the outer loop: reset -> pre_train -> [iteration 0 eval] ->
+loop {train_one_iteration, current_loss, eval every ``eval_iterations``},
+logging a fixed-width table row per eval exactly in the reference's shape
+(Iters | Time | Train Loss | <evaluator columns...>, solver-inl.hpp:24-69).
+
+``SGDSolver`` mirrors SGD<Model> (ref src/solver/sgd.hpp:24-70): it carries
+the learn-rate schedule (constant by default; optional inverse-time decay
+lr0/(1+lr0*lambda*steps), ref sgd-inl.hpp:84-91) and hands the current rate
+to the model each iteration.
+
+TPU-native differences: model state (params + optimizer accumulators + rng)
+is an explicit value threaded through the loop (functional, jit-friendly),
+and evaluation runs as batched on-device pipelines (evaluation.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.evaluation import Evaluation, EvalType
+from cdae_tpu.utils.logging import get_logger
+from cdae_tpu.utils.timer import Timer
+
+logger = get_logger()
+
+
+def _fmt_metrics(res: Dict[str, float]) -> str:
+    return " ".join(
+        f"{k}={v:.5f}" for k, v in res.items() if k != "TestTime"
+    ) + f" TestTime={res.get('TestTime', 0.0):.2f}s"
+
+
+class Solver:
+    """Generic trainer over the model protocol (models/base.py)."""
+
+    def __init__(
+        self,
+        model,
+        max_iteration: int = 1,
+        eval_iterations: int = 1,
+        seed: int = 0,
+        verbose: bool = True,
+    ):
+        self.model = model
+        self.max_iteration = int(max_iteration)
+        self.eval_iterations = max(int(eval_iterations), 1)
+        self.seed = seed
+        self.verbose = verbose
+        self.state = None
+        self.history: List[Dict[str, float]] = []
+
+    # hooks (ref solver.hpp:27-33)
+    def pre_train(self, train_data: Interactions, validation_data) -> None:
+        pass
+
+    def train_one_iteration(self, train_data: Interactions, rng_key):
+        self.state = self.model.train_one_iteration(self.state, rng_key)
+
+    def _log(self, msg: str) -> None:
+        if self.verbose and jax.process_index() == 0:
+            logger.info(msg)
+
+    def _eval_row(
+        self, iteration, t, train_loss, evaluations, validation_data, train_data
+    ) -> Dict[str, float]:
+        row: Dict[str, float] = {
+            "iter": float(iteration),
+            "time": t.elapsed(),
+            "train_loss": float(train_loss),
+        }
+        parts = [
+            f"{iteration:5d}|{t.elapsed():8.3f}|{train_loss:10.5g}|"
+        ]
+        if validation_data is not None and len(validation_data) > 0:
+            for ev in evaluations:
+                res = ev.evaluate(self.model, self.state, validation_data, train_data)
+                row.update(res)
+                parts.append(_fmt_metrics(res) + "|")
+        self._log("".join(parts))
+        self.history.append(row)
+        return row
+
+    def train(
+        self,
+        train_data: Interactions,
+        validation_data: Optional[Interactions] = None,
+        eval_types: Sequence = (),
+    ):
+        """The reference training loop (solver-inl.hpp:5-79)."""
+        evaluations = [Evaluation.create(t) for t in eval_types]
+        self.history = []
+
+        self.state = self.model.reset(train_data, seed=self.seed)
+        self.pre_train(train_data, validation_data)
+        rng = jax.random.PRNGKey(self.seed)
+
+        t = Timer()
+        self._log("-" * 110)
+        header = f"{'Iters':>5}|{'Time':>8}|{'Train Loss':>10}|"
+        if validation_data is not None and len(validation_data) > 0:
+            header += "".join(
+                " ".join(ev.columns) + "|" for ev in evaluations
+            )
+        self._log(header)
+
+        train_loss = 0.0
+        self._eval_row(0, t, train_loss, evaluations, validation_data, train_data)
+
+        iteration = 0
+        while iteration < self.max_iteration:
+            rng, sub = jax.random.split(rng)
+            self.train_one_iteration(train_data, sub)
+            train_loss = self.model.current_loss(self.state)
+            iteration += 1
+            if iteration % self.eval_iterations == 0:
+                self._eval_row(
+                    iteration, t, train_loss, evaluations, validation_data, train_data
+                )
+        self._log("-" * 110)
+        return self.state
+
+    def test(self, test_data: Interactions, eval_types: Sequence = (),
+             train_data: Optional[Interactions] = None) -> Dict[str, float]:
+        """One-shot evaluation pass (ref solver-inl.hpp:81-112)."""
+        t = Timer()
+        out: Dict[str, float] = {}
+        for ev in (Evaluation.create(k) for k in eval_types):
+            out.update(ev.evaluate(self.model, self.state, test_data, train_data))
+        out["time"] = t.elapsed()
+        self._log(
+            f"{t.elapsed():8.3f}|"
+            + " ".join(f"{k}={v:.5f}" for k, v in out.items() if k != "time")
+        )
+        return out
+
+
+class SGDSolver(Solver):
+    """SGD<Model> equivalent (ref src/solver/sgd.hpp:24-70).
+
+    The learn-rate lives in the solver (ref SGDConfig sgd.hpp:13-21);
+    ``adaptive`` enables the inverse-time decay the reference ships
+    disabled (sgd-inl.hpp:84-91).
+    """
+
+    def __init__(
+        self,
+        model,
+        max_iteration: int = 1,
+        eval_iterations: int = 1,
+        learn_rate: Optional[float] = None,
+        lambda_: float = 0.0,
+        adaptive: bool = False,
+        seed: int = 0,
+        verbose: bool = True,
+    ):
+        super().__init__(model, max_iteration, eval_iterations, seed, verbose)
+        self.learn_rate0 = learn_rate
+        self.lambda_ = lambda_
+        self.adaptive = adaptive
+        self._steps = 0
+
+    def pre_train(self, train_data, validation_data) -> None:
+        # ref sgd-inl.hpp:93-102: push the configured rate into the model
+        if self.learn_rate0 is not None and hasattr(self.model, "set_learn_rate"):
+            self.model.set_learn_rate(self.learn_rate0)
+        self._steps = 0
+
+    def train_one_iteration(self, train_data, rng_key):
+        super().train_one_iteration(train_data, rng_key)
+        self._steps += len(train_data)
+        if (
+            self.adaptive
+            and self.learn_rate0 is not None
+            and hasattr(self.model, "set_learn_rate")
+        ):
+            lr = self.learn_rate0 / (
+                1.0 + self.learn_rate0 * self.lambda_ * self._steps
+            )
+            self.model.set_learn_rate(lr)
