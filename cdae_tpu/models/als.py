@@ -1,0 +1,171 @@
+"""Alternating least squares: ALS and WRMF
+(ref: src/model/recsys/als.hpp, wrmf.hpp — "Collaborative filtering for
+implicit feedback datasets", ICDM'08 as shipped by libcf).
+
+Reference semantics (als.hpp:65-98, wrmf.hpp:66-100): one iteration solves,
+for every user u, the d×d normal equations over that user's OBSERVED items
+
+  ALS:   (λI + Σ_{i∈R_u} y_i y_iᵀ)            x_u = Σ_{i∈R_u} r_ui y_i
+  WRMF:  (λI + Σ_{i∈R_u} (s·r_ui) y_i y_iᵀ)   x_u = Σ_{i∈R_u} (s·r_ui) y_i
+
+then symmetrically for every item (libcf regularizes with plain λI and sums
+only over observed entries — replicated exactly). The reference inverts each
+d×d system inside a dynamic thread pool (als.hpp:100-107); TPU-native, each
+side becomes ONE jitted batched solve: gather padded interaction rows,
+build all A matrices with a masked einsum (MXU), and `jnp.linalg.solve` the
+whole batch at once. Rows with no observations keep their old factors
+(ref als.hpp:110-121 returns early).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.base import ModelState, RecsysModel
+from cdae_tpu.ops.losses import Loss
+from cdae_tpu.ops.penalties import Penalty
+
+
+@dataclasses.dataclass(frozen=True)
+class ALSConfig:
+    """Mirrors ALSConfig/WRMFConfig (ref als.hpp:10-16, wrmf.hpp:10-18)."""
+
+    lambda_: float = 0.01
+    scalar: float = 40.0  # WRMF confidence scale (ref wrmf.hpp:13)
+    loss: str = "SQUARE"
+    penalty: str = "L2"
+    num_dim: int = 10
+    # --- TPU build knobs ---
+    solve_batch: int = 4096  # rows per batched d×d solve
+    dtype: Any = jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("weighted",))
+def _solve_side(
+    Y: jnp.ndarray,  # (M, D) fixed factor side
+    idx: jnp.ndarray,  # (B, L) int32 observed indices into Y, padded with M
+    ratings: jnp.ndarray,  # (B, L) float32
+    mask: jnp.ndarray,  # (B, L) bool
+    lam: jnp.ndarray,  # scalar
+    scalar: jnp.ndarray,  # scalar (WRMF confidence scale)
+    weighted: bool,
+):
+    """Batched normal-equation solve for one ALS sweep side."""
+    D = Y.shape[1]
+    rows = Y[jnp.clip(idx, 0, Y.shape[0] - 1)]  # (B, L, D)
+    m = mask.astype(Y.dtype)
+    c = (scalar * ratings * m) if weighted else m  # per-entry A-weights
+    A = jnp.einsum("bld,bl,ble->bde", rows, c, rows)
+    A = A + lam * jnp.eye(D, dtype=Y.dtype)[None]
+    rhs_w = (scalar * ratings * m) if weighted else (ratings * m)
+    rhs = jnp.einsum("bld,bl->bd", rows, rhs_w)
+    return jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (B, D)
+
+
+class ALS(RecsysModel):
+    """Implicit-feedback ALS (ref als.hpp)."""
+
+    name = "ALS"
+    weighted = False
+
+    def __init__(self, config: Optional[ALSConfig] = None, **kw):
+        self.cfg = config if config is not None else ALSConfig(**kw)
+        self.loss = Loss.create(self.cfg.loss)
+        self.penalty = Penalty.create(self.cfg.penalty)
+
+    def reset(self, data: Interactions, seed: int = 0) -> ModelState:
+        U, I, D = data.num_users, data.num_items, self.cfg.num_dim
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        dt = self.cfg.dtype
+        # DMatrix::Random()*0.001 → U(-0.001, 0.001) (ref als.hpp:47-48)
+        params = {
+            "p": jax.random.uniform(k1, (U, D), dt, -0.001, 0.001),
+            "q": jax.random.uniform(k2, (I, D), dt, -0.001, 0.001),
+        }
+        state = ModelState(params=params, padded=data.padded(),
+                           num_users=U, num_items=I)
+        # item-side view: per-item padded user lists (ref als.hpp:52-53)
+        by_item = Interactions(
+            data.items, data.users, data.ratings, I, U
+        ).padded()
+        state.aux["by_item"] = by_item
+        return state
+
+    def _sweep(self, X, Y, pb, update_mask_len):
+        """Solve all rows of X against fixed Y in solve_batch chunks."""
+        bs = self.cfg.solve_batch
+        N = pb.num_users  # number of rows on this side
+        lam = jnp.asarray(self.cfg.lambda_, self.cfg.dtype)
+        sc = jnp.asarray(self.cfg.scalar, self.cfg.dtype)
+        out = X
+        for start in range(0, N, bs):
+            sel = np.arange(start, min(start + bs, N))
+            pad = bs - len(sel)
+            if pad > 0:
+                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+            solved = _solve_side(
+                Y,
+                jnp.asarray(pb.items[sel]),
+                jnp.asarray(pb.ratings[sel]),
+                jnp.asarray(pb.mask[sel]),
+                lam,
+                sc,
+                self.weighted,
+            )
+            lengths = pb.lengths[sel]
+            keep_new = jnp.asarray(
+                (lengths > 0) & (np.arange(len(sel)) < bs - pad)
+            )[:, None]
+            # fallback rows come from the running output so that padded
+            # (duplicate) indices rewrite their current value, not stale X
+            rows = jnp.where(keep_new, solved, out[jnp.asarray(sel)])
+            out = out.at[jnp.asarray(sel)].set(rows)
+        return out
+
+    def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        params = dict(state.params)
+        # user sweep then item sweep (ref als.hpp:100-107)
+        params["p"] = self._sweep(
+            params["p"], params["q"], state.padded, state.num_users
+        )
+        params["q"] = self._sweep(
+            params["q"], params["p"], state.aux["by_item"], state.num_items
+        )
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return 0.0  # ref als.hpp uses base data_loss; wrmf.hpp:59-61 returns 0
+
+    def penalty_loss(self, state) -> float:
+        p = state.params
+        return float(
+            self.cfg.lambda_
+            * (self.penalty.evaluate(p["p"]) + self.penalty.evaluate(p["q"]))
+        )
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return state.params["p"][jnp.asarray(uids)] @ state.params["q"].T
+
+    def predict(self, state, users, items):
+        return jnp.sum(
+            state.params["p"][jnp.asarray(users)]
+            * state.params["q"][jnp.asarray(items)],
+            axis=-1,
+        )
+
+
+class WRMF(ALS):
+    """Weighted-regularized MF: confidence s·r on observed entries
+    (ref wrmf.hpp:66-100)."""
+
+    name = "WRMF"
+    weighted = True

@@ -64,6 +64,20 @@ def iter_user_batches(
         )
 
 
+@dataclasses.dataclass
+class ModelState:
+    """Generic model state threaded through the solver loop: parameters +
+    optimizer accumulators (the reference keeps both as members, e.g.
+    imf.hpp:117-127; here they are explicit functional state)."""
+
+    params: dict
+    padded: Optional[PaddedUserBatch]
+    num_users: int
+    num_items: int
+    step: int = 0
+    aux: dict = dataclasses.field(default_factory=dict)
+
+
 class RecsysModel:
     """Base class; concrete models implement the protocol methods."""
 

@@ -1,0 +1,445 @@
+"""Generic feature-group models: LinearModel, FactorModel, NegMF.
+
+Reference: src/model/linear_model.hpp (+-inl), factor_model.hpp (+-inl),
+src/model/recsys/neg_mf.hpp. These are the only models in the reference that
+operate on the GLOBAL feature-index space (user/item/... groups flattened):
+
+  LinearModel (linear_model-inl.hpp:25-68):
+      s(x) = mean + Σ_f w_f x_f ; per-feature AdaGrad with accumulators
+      initialized at ZERO (grad/sqrt(acc) after acc += g², so the first
+      touch steps by sign(g)·lr).
+  FactorModel (factor_model-inl.hpp:34-128): order-2 FM whose pairwise
+      interactions only span features in DIFFERENT groups (:54-58):
+      s(x) = mean + Σ_f w_f x_f + Σ_{f<f', g(f)≠g(f')} x_f x_f' v_f·v_f'
+  NegMF (neg_mf.hpp): FactorModel over (user,item) instances + num_neg
+      sampled negatives per positive, label −1 for LOG/HINGE else 0
+      (neg_mf.hpp:79-95).
+
+TPU-native: instances live in GroupedInstances dense slots; the cross-group
+interaction uses the O(F·D) identity
+  Σ_{f≠f'} (v_f x_f)·(v_f' x_f') = ‖Σ_f v_f x_f‖² − Σ_f ‖v_f x_f‖²
+restricted per group to subtract same-group pairs. Minibatch updates
+scatter-add per-instance gradient contributions (per-touch λ·param as in the
+reference) and apply one AdaGrad step per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.data.instances import GroupedInstances
+from cdae_tpu.models.base import ModelState, RecsysModel
+from cdae_tpu.ops import sampling
+from cdae_tpu.ops.losses import Loss
+from cdae_tpu.ops.penalties import Penalty
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearModelConfig:
+    """ref linear_model.hpp:12-21"""
+
+    lambda_: float = 0.001
+    loss: str = "SQUARE"
+    penalty: str = "L2"
+    using_global_mean: bool = True
+    using_adagrad: bool = True
+    learn_rate: float = 0.1
+    batch_size: int = 4096
+    dtype: Any = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class FactorModelConfig:
+    """ref factor_model.hpp:12-22"""
+
+    lambda_: float = 0.01
+    loss: str = "SQUARE"
+    penalty: str = "L2"
+    num_dim: int = 5
+    using_bias_term: bool = True
+    using_factor_term: bool = True
+    using_global_mean: bool = True
+    using_adagrad: bool = True
+    learn_rate: float = 0.1
+    num_neg: int = 5  # NegMF only (ref neg_mf.hpp:16)
+    batch_size: int = 4096
+    dtype: Any = jnp.float32
+
+
+def _zero_init_adagrad(p, a, g, lr, use):
+    """AdaGrad with zero-initialized accumulators (ref
+    linear_model-inl.hpp:58-63, factor_model-inl.hpp:100-121): accumulate
+    then divide by sqrt(acc); untouched coordinates (g=0) are skipped."""
+    if not use:
+        return p - lr * g, a
+    a2 = a + g * g
+    step = jnp.where(a2 > 0, g / jnp.sqrt(jnp.maximum(a2, 1e-30)), 0.0)
+    return p - lr * step, a2
+
+
+class LinearModel(RecsysModel):
+    name = "LinearModel"
+
+    def __init__(self, config: Optional[LinearModelConfig] = None, **kw):
+        self.cfg = config if config is not None else LinearModelConfig(**kw)
+        self.loss = Loss.create(self.cfg.loss)
+        self.penalty = Penalty.create(self.cfg.penalty)
+        self._lr = self.cfg.learn_rate
+        self._jit_step = jax.jit(
+            functools.partial(_linear_step, cfg=self.cfg, loss=self.loss),
+            donate_argnums=(0,),
+        )
+
+    def set_learn_rate(self, lr: float) -> None:
+        self._lr = float(lr)
+
+    def _instances(self, data) -> GroupedInstances:
+        if isinstance(data, GroupedInstances):
+            return data
+        return GroupedInstances.from_interactions(data)
+
+    def reset(self, data, seed: int = 0) -> ModelState:
+        gi = self._instances(data)
+        dt = self.cfg.dtype
+        key = jax.random.PRNGKey(seed)
+        params = {
+            # DMatrix::Random()*0.01 (ref linear_model-inl.hpp:9)
+            "w": jax.random.uniform(key, (gi.total_dim,), dt, -0.01, 0.01),
+            "w_ag": jnp.zeros((gi.total_dim,), dt),
+        }
+        mean = float(np.mean(gi.labels)) if len(gi) else 0.0
+        state = ModelState(
+            params=params, padded=None,
+            num_users=gi.group_dims[0] if gi.group_dims else 0,
+            num_items=gi.group_dims[1] if len(gi.group_dims) > 1 else 0,
+        )
+        state.aux["instances"] = gi
+        state.aux["global_mean"] = mean if self.cfg.using_global_mean else 0.0
+        return state
+
+    def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        gi: GroupedInstances = state.aux["instances"]
+        n = len(gi)
+        bs = self.cfg.batch_size
+        perm = np.random.default_rng(
+            np.asarray(jax.random.key_data(rng_key))[-1]
+        ).permutation(n)
+        params = state.params
+        mean = jnp.asarray(state.aux["global_mean"], self.cfg.dtype)
+        for start in range(0, n, bs):
+            sel = perm[start : start + bs]
+            pad = bs - len(sel)
+            w = np.ones(bs, dtype=np.float32)
+            if pad > 0:
+                w[bs - pad :] = 0.0
+                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+            params = self._jit_step(
+                params,
+                jnp.asarray(gi.idx[sel]),
+                jnp.asarray(gi.vals[sel] * gi.mask[sel]),
+                jnp.asarray(gi.labels[sel]),
+                jnp.asarray(w),
+                mean,
+                jnp.asarray(self._lr, self.cfg.dtype),
+            )
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        gi: GroupedInstances = state.aux["instances"]
+        preds = self._predict_instances(state, gi)
+        return float(
+            jnp.sum(self.loss.evaluate(preds, jnp.asarray(gi.labels)))
+        )
+
+    def penalty_loss(self, state) -> float:
+        return float(
+            0.5 * self.cfg.lambda_ * self.penalty.evaluate(state.params["w"])
+        )
+
+    def _predict_instances(self, state, gi: GroupedInstances):
+        mean = state.aux["global_mean"]
+        vals = jnp.asarray(gi.vals * gi.mask)
+        return mean + jnp.sum(state.params["w"][jnp.asarray(gi.idx)] * vals, -1)
+
+    def predict(self, state, users, items):
+        gi: GroupedInstances = state.aux["instances"]
+        u_off = 0
+        i_off = gi.group_dims[0]
+        u = jnp.asarray(users) + u_off
+        i = jnp.asarray(items) + i_off
+        w = state.params["w"]
+        return state.aux["global_mean"] + w[u] + w[i]
+
+
+def _linear_step(params, idx, vals, labels, w, mean, lr, *, cfg, loss):
+    """ref linear_model-inl.hpp:46-68, batched."""
+    pred = mean + jnp.sum(params["w"][idx] * vals, axis=-1)
+    g = loss.gradient(pred, labels) * w
+    contrib = g[:, None] * vals + cfg.lambda_ * params["w"][idx] * (
+        (vals != 0).astype(vals.dtype) * w[:, None]
+    )
+    grad = jnp.zeros_like(params["w"]).at[idx].add(contrib)
+    p, a = _zero_init_adagrad(
+        params["w"], params["w_ag"], grad, lr, cfg.using_adagrad
+    )
+    out = dict(params)
+    out["w"], out["w_ag"] = p, a
+    return out
+
+
+# ---------------------------------------------------------------- FactorModel
+
+
+def _fm_forward(params, idx, vals, mean, group_of):
+    """FM score with cross-group-only interactions
+    (ref factor_model-inl.hpp:34-63)."""
+    w_terms = jnp.sum(params["w"][idx] * vals, axis=-1)
+    Vx = params["V"][idx] * vals[..., None]  # (B, F, D)
+    total = jnp.sum(Vx, axis=1)  # (B, D)
+    all_pairs = jnp.sum(total * total, -1) - jnp.sum(Vx * Vx, (-2, -1))
+    # subtract same-group pairs
+    same = jnp.zeros_like(all_pairs)
+    for gid in sorted(set(group_of)):
+        sel = [f for f, g in enumerate(group_of) if g == gid]
+        if len(sel) < 2:
+            continue
+        sub = Vx[:, jnp.asarray(sel), :]
+        s = jnp.sum(sub, axis=1)
+        same = same + jnp.sum(s * s, -1) - jnp.sum(sub * sub, (-2, -1))
+    return mean + w_terms + 0.5 * (all_pairs - same)
+
+
+class FactorModel(LinearModel):
+    name = "FactorModel"
+
+    def __init__(self, config: Optional[FactorModelConfig] = None, **kw):
+        cfg = config if config is not None else FactorModelConfig(**kw)
+        self.cfg = cfg
+        self.loss = Loss.create(cfg.loss)
+        self.penalty = Penalty.create(cfg.penalty)
+        self._lr = cfg.learn_rate
+        self._jit_step = None  # built at reset (needs static group_of)
+
+    def reset(self, data, seed: int = 0) -> ModelState:
+        gi = self._instances(data)
+        dt = self.cfg.dtype
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        T, D = gi.total_dim, self.cfg.num_dim
+        params: Dict[str, jnp.ndarray] = {
+            "w": jax.random.uniform(k1, (T,), dt, -0.01, 0.01),
+            "w_ag": jnp.zeros((T,), dt),
+            "V": jax.random.uniform(k2, (T, D), dt, -0.01, 0.01),
+            "V_ag": jnp.zeros((T, D), dt),
+        }
+        mean = float(np.mean(gi.labels)) if len(gi) else 0.0
+        state = ModelState(
+            params=params, padded=None,
+            num_users=gi.group_dims[0] if gi.group_dims else 0,
+            num_items=gi.group_dims[1] if len(gi.group_dims) > 1 else 0,
+        )
+        state.aux["instances"] = gi
+        state.aux["global_mean"] = mean if self.cfg.using_global_mean else 0.0
+        self._jit_step = jax.jit(
+            functools.partial(
+                _fm_step, cfg=self.cfg, loss=self.loss, group_of=gi.group_of
+            ),
+            donate_argnums=(0,),
+        )
+        self._group_of = gi.group_of
+        return state
+
+    def data_loss(self, state) -> float:
+        gi: GroupedInstances = state.aux["instances"]
+        preds = self._predict_instances(state, gi)
+        return float(jnp.sum(self.loss.evaluate(preds, jnp.asarray(gi.labels))))
+
+    def penalty_loss(self, state) -> float:
+        p = state.params
+        return float(
+            0.5
+            * self.cfg.lambda_
+            * (self.penalty.evaluate(p["w"]) + self.penalty.evaluate(p["V"]))
+        )
+
+    def _predict_instances(self, state, gi: GroupedInstances):
+        return _fm_forward(
+            state.params,
+            jnp.asarray(gi.idx),
+            jnp.asarray(gi.vals * gi.mask),
+            state.aux["global_mean"],
+            gi.group_of,
+        )
+
+    def predict(self, state, users, items):
+        gi: GroupedInstances = state.aux["instances"]
+        i_off = gi.group_dims[0]
+        idx = jnp.stack(
+            [jnp.asarray(users), jnp.asarray(items) + i_off], axis=1
+        )
+        vals = jnp.ones_like(idx, dtype=self.cfg.dtype)
+        return _fm_forward(
+            state.params, idx, vals, state.aux["global_mean"], gi.group_of
+        )
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        """(B, I) catalog scores for TOPN eval: mean + w_u + w_i + v_u·v_i
+        (the 2-group recsys case of the FM forward)."""
+        gi: GroupedInstances = state.aux["instances"]
+        i_off = gi.group_dims[0]
+        p = state.params
+        u = jnp.asarray(uids)
+        I = state.num_items
+        item_idx = jnp.arange(I) + i_off
+        return (
+            state.aux["global_mean"]
+            + p["w"][u][:, None]
+            + p["w"][item_idx][None, :]
+            + p["V"][u] @ p["V"][item_idx].T
+        )
+
+
+def _fm_step(params, idx, vals, labels, w, mean, lr, *, cfg, loss, group_of):
+    """Batched FM update (ref factor_model-inl.hpp:65-128): per-instance
+    contributions with per-touch λ, one zero-init AdaGrad step per batch."""
+    pred = _fm_forward(params, idx, vals, mean, group_of)
+    g = loss.gradient(pred, labels) * w  # (B,)
+    out = dict(params)
+
+    if cfg.using_bias_term:
+        contrib = g[:, None] * vals + cfg.lambda_ * params["w"][idx] * (
+            (vals != 0).astype(vals.dtype) * w[:, None]
+        )
+        grad_w = jnp.zeros_like(params["w"]).at[idx].add(contrib)
+        out["w"], out["w_ag"] = _zero_init_adagrad(
+            params["w"], params["w_ag"], grad_w, lr, cfg.using_adagrad
+        )
+
+    if cfg.using_factor_term:
+        Vx = params["V"][idx] * vals[..., None]  # (B, F, D)
+        # dpred/dv_f = x_f · Σ_{f' : g(f')≠g(f)} v_f' x_f'
+        F = idx.shape[1]
+        groups = np.asarray(group_of)
+        total = jnp.sum(Vx, axis=1)  # (B, D)
+        per_group = {}
+        for gid in sorted(set(group_of)):
+            sel = [f for f in range(F) if groups[f] == gid]
+            per_group[gid] = jnp.sum(Vx[:, jnp.asarray(sel), :], axis=1)
+        other = jnp.stack(
+            [total - per_group[groups[f]] for f in range(F)], axis=1
+        )  # (B, F, D)
+        touched = ((vals != 0).astype(vals.dtype) * w[:, None])[..., None]
+        contrib_V = (
+            g[:, None, None] * vals[..., None] * other
+            + cfg.lambda_ * params["V"][idx] * touched
+        )
+        grad_V = jnp.zeros_like(params["V"]).at[idx].add(contrib_V)
+        out["V"], out["V_ag"] = _zero_init_adagrad(
+            params["V"], params["V_ag"], grad_V, lr, cfg.using_adagrad
+        )
+    return out
+
+
+class NegMF(FactorModel):
+    """FactorModel + per-positive negative sampling (ref neg_mf.hpp).
+    Only defined over recsys (user, item) data; negatives carry label −1
+    for LOG/HINGE losses, else 0 (ref neg_mf.hpp:84-90)."""
+
+    name = "NegMF"
+
+    def __init__(self, config: Optional[FactorModelConfig] = None, **kw):
+        if config is None and "loss" not in kw:
+            kw["loss"] = "LOG"
+        super().__init__(config, **kw)
+
+    def reset(self, data, seed: int = 0) -> ModelState:
+        if isinstance(data, GroupedInstances):
+            raise ValueError("NegMF needs recsys Interactions data")
+        state = super().reset(data, seed)
+        state.padded = data.padded()
+        state.aux["coo"] = (data.users, data.items)
+        return state
+
+    def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        gi: GroupedInstances = state.aux["instances"]
+        users, items = state.aux["coo"]
+        pb = state.padded
+        n = len(gi)
+        bs = self.cfg.batch_size
+        nn = max(self.cfg.num_neg, 0)
+        neg_label = (
+            -1.0 if self.loss.name in ("LOG", "HINGE") else 0.0
+        )  # ref neg_mf.hpp:84-90
+        perm = np.random.default_rng(
+            np.asarray(jax.random.key_data(rng_key))[-1]
+        ).permutation(n)
+        params = state.params
+        mean = jnp.asarray(state.aux["global_mean"], self.cfg.dtype)
+        i_off = gi.group_dims[0]
+        I = state.num_items
+        for start in range(0, n, bs):
+            sel = perm[start : start + bs]
+            pad = bs - len(sel)
+            w = np.ones(bs, dtype=np.float32)
+            if pad > 0:
+                w[bs - pad :] = 0.0
+                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+            u = users[sel]
+            rng_key, sub = jax.random.split(rng_key)
+            if nn > 0:
+                neg = sampling.sample_unrated(
+                    sub,
+                    jnp.asarray(pb.items[u]),
+                    jnp.asarray(pb.lengths[u]),
+                    I,
+                    nn,
+                )  # (B, nn)
+                neg = jnp.clip(neg, 0, I - 1)
+                B = bs
+                all_u = jnp.tile(jnp.asarray(u)[:, None], (1, nn + 1))
+                all_i = jnp.concatenate(
+                    [jnp.asarray(items[sel])[:, None], neg], axis=1
+                )
+                labels = jnp.concatenate(
+                    [
+                        jnp.full((B, 1), self.loss.positive_label),
+                        jnp.full((B, nn), neg_label),
+                    ],
+                    axis=1,
+                )
+                idx = jnp.stack(
+                    [all_u.reshape(-1), all_i.reshape(-1) + i_off], axis=1
+                )
+                vals = jnp.ones_like(idx, dtype=self.cfg.dtype)
+                ww = jnp.tile(jnp.asarray(w)[:, None], (1, nn + 1)).reshape(-1)
+                params = self._jit_step(
+                    params, idx, vals, labels.reshape(-1), ww, mean,
+                    jnp.asarray(self._lr, self.cfg.dtype),
+                )
+            else:
+                params = self._jit_step(
+                    params,
+                    jnp.asarray(gi.idx[sel]),
+                    jnp.asarray(gi.vals[sel]),
+                    jnp.full((bs,), self.loss.positive_label),
+                    jnp.asarray(w),
+                    mean,
+                    jnp.asarray(self._lr, self.cfg.dtype),
+                )
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return 0.0  # ref neg_mf.hpp:66-72
+
+    def penalty_loss(self, state) -> float:
+        return 0.0

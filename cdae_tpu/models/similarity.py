@@ -1,0 +1,218 @@
+"""Neighborhood models: SimilarityBase, ItemCF, UserCF
+(ref: src/model/recsys/similarity_base.hpp, itemcf.hpp, usercf.hpp).
+
+Reference semantics: at reset, for every index entity (item for ItemCF, user
+for UserCF) count co-occurrences with every other entity through the shared
+data axis, normalize (Jaccard: c/(n_a+n_b-c); Cosine: c/sqrt(n_a·n_b),
+similarity_base.hpp:79-87), and keep the top-k neighbors
+(similarity_base.hpp:88-92, one thread-pool task per entity).
+
+TPU-native: co-occurrence counting is a blocked binary matmul on the MXU
+(C_blk = A_blk @ Aᵀ), normalization is fused elementwise, and neighbor
+selection is `lax.top_k` per block — the whole neighbor build is a few
+jitted kernels instead of a hash-map per entity. Scoring scatters neighbor
+similarities into a (B, num_items) score matrix:
+
+  ItemCF (itemcf.hpp:22-50): score[i] = Σ_{j ∈ rated(u)} sim(j→i)
+  UserCF (usercf.hpp:21-54): score[i] = Σ_{v ∈ topk(u)} sim(u,v)·1[v rated i]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.base import ModelState, RecsysModel
+
+
+@dataclasses.dataclass(frozen=True)
+class SimilarityConfig:
+    """SimilarityType + topk (ref similarity_base.hpp:34-40)."""
+
+    sim_type: str = "JACCARD"  # JACCARD | COSINE
+    topk: int = 50
+    # --- TPU build knobs ---
+    block_size: int = 1024  # index rows per co-occurrence matmul block
+    dtype: Any = jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("sim_type", "topk"))
+def _neighbor_block(
+    A_blk: jnp.ndarray,  # (B, M) binary rows of the index entities
+    A: jnp.ndarray,  # (N, M) all index entities
+    counts_blk: jnp.ndarray,  # (B,)
+    counts: jnp.ndarray,  # (N,)
+    row_offset: jnp.ndarray,  # scalar — global id of A_blk[0] (self-mask)
+    sim_type: str,
+    topk: int,
+):
+    """One block of the neighbor build: count -> normalize -> top-k."""
+    C = jnp.dot(A_blk, A.T, preferred_element_type=jnp.float32)  # (B, N)
+    if sim_type == "JACCARD":
+        denom = counts_blk[:, None] + counts[None, :] - C
+        S = C / jnp.maximum(denom, 1e-12)
+    else:  # COSINE
+        S = C / jnp.maximum(
+            jnp.sqrt(counts_blk[:, None] * counts[None, :]), 1e-12
+        )
+    B, N = C.shape
+    self_ids = row_offset + jnp.arange(B)[:, None]
+    is_self = jnp.arange(N)[None, :] == self_ids
+    # only co-occurring candidates are eligible (ref builds the candidate
+    # set from shared data entities, similarity_base.hpp:66-77)
+    S = jnp.where((C > 0) & ~is_self, S, -jnp.inf)
+    sims, ids = jax.lax.top_k(S, topk)
+    valid = jnp.isfinite(sims)
+    return (
+        jnp.where(valid, ids, N).astype(jnp.int32),
+        jnp.where(valid, sims, 0.0),
+    )
+
+
+def build_topk_neighbors(
+    binary: np.ndarray,  # (N, M) 0/1 — index entities × data entities
+    sim_type: str,
+    topk: int,
+    block_size: int = 1024,
+):
+    """Full neighbor graph: (N, K) ids padded with N + (N, K) sims."""
+    N = binary.shape[0]
+    A = jnp.asarray(binary, dtype=jnp.float32)
+    counts = jnp.sum(A, axis=1)
+    k = min(topk, max(N - 1, 1))
+    ids_out = np.full((N, k), N, dtype=np.int32)
+    sims_out = np.zeros((N, k), dtype=np.float32)
+    for start in range(0, N, block_size):
+        end = min(start + block_size, N)
+        ids, sims = _neighbor_block(
+            A[start:end],
+            A,
+            counts[start:end],
+            counts,
+            jnp.int32(start),
+            sim_type.upper(),
+            k,
+        )
+        ids_out[start:end] = np.asarray(ids)
+        sims_out[start:end] = np.asarray(sims)
+    return ids_out, sims_out
+
+
+@jax.jit
+def _itemcf_scores(nbr_ids, nbr_sims, rated_items, rated_mask, counts_shape_ref):
+    """score[b, i] = Σ_{j ∈ rated(b)} sim(j→i) via scatter-add."""
+    I = counts_shape_ref.shape[0]
+    B, L = rated_items.shape
+    ids = nbr_ids[jnp.clip(rated_items, 0, I - 1)]  # (B, L, K)
+    sims = nbr_sims[jnp.clip(rated_items, 0, I - 1)]
+    sims = sims * rated_mask[..., None]
+    b_idx = jnp.arange(B)[:, None, None]
+    return jnp.zeros((B, I)).at[
+        jnp.broadcast_to(b_idx, ids.shape), ids
+    ].add(sims, mode="drop")
+
+
+@jax.jit
+def _usercf_scores(nbr_ids, nbr_sims, uids, all_user_items, all_user_mask,
+                   num_items):
+    """score[b, i] = Σ_k sim(u_b, v_k)·1[v_k rated i] via scatter-add."""
+    U = all_user_items.shape[0]
+    B = uids.shape[0]
+    nbrs = nbr_ids[uids]  # (B, K) padded with U
+    sims = nbr_sims[uids]  # (B, K)
+    nbrs_c = jnp.clip(nbrs, 0, U - 1)
+    items = all_user_items[nbrs_c]  # (B, K, L)
+    mask = all_user_mask[nbrs_c] & (nbrs[..., None] < U)
+    vals = sims[..., None] * mask
+    b_idx = jnp.arange(B)[:, None, None]
+    I = num_items.shape[0]
+    return jnp.zeros((B, I)).at[
+        jnp.broadcast_to(b_idx, items.shape), items
+    ].add(vals, mode="drop")
+
+
+class SimilarityBase(RecsysModel):
+    """Shared neighbor-build machinery; subclasses pick the axis."""
+
+    index_axis = "item"  # entities that get neighbor lists
+
+    def __init__(self, config: Optional[SimilarityConfig] = None, **kw):
+        self.cfg = config if config is not None else SimilarityConfig(**kw)
+
+    def reset(self, data: Interactions, seed: int = 0) -> ModelState:
+        binary = data.dense_matrix(binary=True)  # (U, I)
+        if self.index_axis == "item":
+            mat = binary.T  # items × users
+        else:
+            mat = binary  # users × items
+        ids, sims = build_topk_neighbors(
+            mat, self.cfg.sim_type, self.cfg.topk, self.cfg.block_size
+        )
+        state = ModelState(
+            params={
+                "nbr_ids": jnp.asarray(ids),
+                "nbr_sims": jnp.asarray(sims),
+            },
+            padded=data.padded(),
+            num_users=data.num_users,
+            num_items=data.num_items,
+        )
+        return state
+
+    def train_one_iteration(self, state, rng_key):
+        return state  # ref similarity_base.hpp:117-119: no-op
+
+    def data_loss(self, state) -> float:
+        return 0.0  # ref similarity_base.hpp:101-104
+
+
+class ItemCF(SimilarityBase):
+    name = "ItemCF"
+    index_axis = "item"
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return _itemcf_scores(
+            state.params["nbr_ids"],
+            state.params["nbr_sims"],
+            jnp.asarray(rated_items),
+            jnp.asarray(rated_mask, dtype=jnp.float32),
+            jnp.zeros((state.num_items,)),
+        )
+
+    def predict(self, state, users, items):
+        users = np.asarray(users)
+        pb = state.padded
+        scores = self.batch_scores(
+            state, users, pb.items[users], pb.mask[users]
+        )
+        return scores[jnp.arange(len(users)), jnp.asarray(items)]
+
+
+class UserCF(SimilarityBase):
+    name = "UserCF"
+    index_axis = "user"
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        pb = state.padded
+        return _usercf_scores(
+            state.params["nbr_ids"],
+            state.params["nbr_sims"],
+            jnp.asarray(uids),
+            jnp.asarray(pb.items),
+            jnp.asarray(pb.mask),
+            jnp.zeros((state.num_items,)),
+        )
+
+    def predict(self, state, users, items):
+        users = np.asarray(users)
+        pb = state.padded
+        scores = self.batch_scores(
+            state, users, pb.items[users], pb.mask[users]
+        )
+        return scores[jnp.arange(len(users)), jnp.asarray(items)]

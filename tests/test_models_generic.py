@@ -1,0 +1,146 @@
+"""FISM / FISMPair / LinearModel / FactorModel / NegMF tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+from cdae_tpu.data.instances import GroupedInstances
+from cdae_tpu.models.fism import FISM, FISMConfig, FISMPair
+from cdae_tpu.models.linear import (
+    FactorModel, FactorModelConfig, LinearModel, LinearModelConfig, NegMF,
+)
+from cdae_tpu.models.linear import _fm_forward
+from cdae_tpu.solver.solver import SGDSolver, Solver
+
+
+@pytest.fixture(scope="module")
+def splits(movielens_path):
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    return data.split_by_user(0.2, seed=20141119)
+
+
+def test_fism_learns(splits):
+    train, test = splits
+    model = FISM(FISMConfig(num_dim=8, num_neg=3, learn_rate=0.05,
+                            batch_size=32))
+    solver = SGDSolver(model, max_iteration=10, eval_iterations=10,
+                       learn_rate=0.05, seed=0, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+
+def test_fism_x_cache_consistent(splits):
+    train, _ = splits
+    model = FISM(FISMConfig(num_dim=4, num_neg=2, batch_size=32))
+    state = model.reset(train)
+    state = model.train_one_iteration(state, jax.random.PRNGKey(0))
+    # x_u must equal sum of P rows over rated items after the epoch
+    pb = state.padded
+    P = np.asarray(state.params["P"])
+    x = np.asarray(state.params["x"])
+    csr = train.csr()
+    for u in [0, 5, 11]:
+        np.testing.assert_allclose(
+            x[u], P[csr.row(u)].sum(axis=0), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fism_predict_rated_vs_unrated(splits):
+    train, _ = splits
+    model = FISM(FISMConfig(num_dim=4, num_neg=0, batch_size=32))
+    state = model.reset(train)
+    csr = train.csr()
+    u = 0
+    rated = csr.row(u)
+    assert len(rated) >= 1
+    unrated = [i for i in range(train.num_items) if i not in set(rated)][0]
+    p = state.params
+    n = len(rated)
+    # manual reference formulas (fism.hpp:198-215)
+    x_u = np.asarray(p["x"][u])
+    got_rated = float(model.predict(state, [u], [rated[0]])[0])
+    exp_rated = (
+        float(p["bu"][u]) + float(p["bi"][rated[0]])
+        + np.dot(x_u - np.asarray(p["P"][rated[0]]),
+                 np.asarray(p["Q"][rated[0]])) / max(n - 1, 1)
+    )
+    assert got_rated == pytest.approx(exp_rated, rel=1e-4)
+    got_un = float(model.predict(state, [u], [unrated])[0])
+    exp_un = (
+        float(p["bu"][u]) + float(p["bi"][unrated])
+        + np.dot(x_u, np.asarray(p["Q"][unrated])) / n
+    )
+    assert got_un == pytest.approx(exp_un, rel=1e-4)
+
+
+def test_fism_pair_trains(splits):
+    train, test = splits
+    model = FISMPair(FISMConfig(num_dim=8, num_neg=2, loss="LOG",
+                                learn_rate=0.05, batch_size=32))
+    solver = SGDSolver(model, max_iteration=6, eval_iterations=6,
+                       learn_rate=0.05, seed=0, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert np.isfinite(solver.history[-1]["R@10"])
+
+
+def test_linear_model_rmse(splits):
+    train, test = splits
+    model = LinearModel(LinearModelConfig(learn_rate=0.1, batch_size=64))
+    solver = SGDSolver(model, max_iteration=10, eval_iterations=5,
+                       learn_rate=0.1, seed=0, verbose=False)
+    solver.train(train, test, ["RMSE", "MAE"])
+    hist = solver.history
+    # training loss decreases; held-out RMSE stays in a sane band (the
+    # 240-rating fixture is too small for generalization assertions)
+    assert hist[-1]["train_loss"] < hist[1]["train_loss"]
+    assert hist[-1]["RMSE"] < 1.5 and hist[-1]["MAE"] < 1.2
+
+
+def test_factor_model_rmse(splits):
+    train, test = splits
+    model = FactorModel(FactorModelConfig(num_dim=4, learn_rate=0.1,
+                                          batch_size=64))
+    solver = SGDSolver(model, max_iteration=10, eval_iterations=5,
+                       learn_rate=0.1, seed=0, verbose=False)
+    solver.train(train, test, ["RMSE"])
+    hist = solver.history
+    assert hist[-1]["train_loss"] < hist[1]["train_loss"]
+    assert hist[-1]["RMSE"] < 1.5
+
+
+def test_fm_forward_cross_group_only():
+    """Interactions must span groups only (ref factor_model-inl.hpp:54-58)."""
+    # 3 slots: slots 0,1 in group 0, slot 2 in group 1
+    import jax.numpy as jnp
+    params = {
+        "w": jnp.zeros((6,)),
+        "V": jnp.arange(12, dtype=jnp.float32).reshape(6, 2),
+    }
+    idx = jnp.asarray([[0, 2, 4]])
+    vals = jnp.ones((1, 3))
+    out = _fm_forward(params, idx, vals, 0.0, (0, 0, 1))
+    V = np.asarray(params["V"])
+    # cross-group pairs: (0,4) and (2,4); same-group pair (0,2) excluded
+    expect = V[0] @ V[4] + V[2] @ V[4]
+    assert float(out[0]) == pytest.approx(expect, rel=1e-5)
+
+
+def test_negmf_learns(splits):
+    train, test = splits
+    model = NegMF(FactorModelConfig(num_dim=8, loss="LOG", learn_rate=0.1,
+                                    num_neg=3, batch_size=64))
+    solver = SGDSolver(model, max_iteration=8, eval_iterations=8,
+                       learn_rate=0.1, seed=0, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+
+def test_grouped_instances_from_interactions(splits):
+    train, _ = splits
+    gi = GroupedInstances.from_interactions(train)
+    assert gi.total_dim == train.num_users + train.num_items
+    assert gi.idx.shape == (len(train), 2)
+    assert (gi.idx[:, 1] >= train.num_users).all()
+    np.testing.assert_array_equal(gi.idx[:, 0], train.users)

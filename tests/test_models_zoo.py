@@ -1,0 +1,162 @@
+"""Model-zoo integration tests (ref test/model_test.hpp:18-79, but asserting
+metric movement / sanity, not just absence of crashes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+from cdae_tpu.models.als import ALS, ALSConfig, WRMF
+from cdae_tpu.models.mf import BPR, IMF, MFConfig, PMF, WARP
+from cdae_tpu.models.popularity import Popularity
+from cdae_tpu.models.similarity import (
+    ItemCF, SimilarityConfig, UserCF, build_topk_neighbors,
+)
+from cdae_tpu.solver.solver import Solver
+
+
+@pytest.fixture(scope="module")
+def splits(movielens_path):
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    return data.split_by_user(0.2, seed=20141119)
+
+
+def _topn(model, splits, iters=5):
+    train, test = splits
+    solver = Solver(model, max_iteration=iters, eval_iterations=iters,
+                    seed=3, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    return solver.history
+
+
+def test_popularity_recommends(splits):
+    train, test = splits
+    hist = _topn(Popularity(), splits, iters=1)
+    assert hist[-1]["R@10"] > 0.05  # popularity is a real baseline
+    # scores equal item counts
+    model = Popularity()
+    state = model.reset(train)
+    s = np.asarray(model.batch_scores(state, np.arange(3), None, None))
+    counts = np.bincount(train.items, minlength=train.num_items)
+    np.testing.assert_allclose(s[0], counts.astype(np.float32))
+
+
+def test_build_topk_neighbors_matches_naive():
+    rng = np.random.default_rng(0)
+    A = (rng.random((12, 9)) < 0.4).astype(np.float32)
+    ids, sims = build_topk_neighbors(A, "JACCARD", topk=5, block_size=4)
+    counts = A.sum(1)
+    for i in range(12):
+        co = A @ A[i]
+        expect = {}
+        for j in range(12):
+            if j == i or co[j] <= 0:
+                continue
+            expect[j] = co[j] / (counts[i] + counts[j] - co[j])
+        got = {
+            int(a): float(s)
+            for a, s in zip(ids[i], sims[i])
+            if a < 12
+        }
+        top = dict(sorted(expect.items(), key=lambda p: -p[1])[:5])
+        assert set(got) <= set(expect)
+        np.testing.assert_allclose(
+            sorted(got.values(), reverse=True),
+            sorted(top.values(), reverse=True),
+            rtol=1e-5,
+        )
+
+
+def test_itemcf_usercf_run(splits):
+    for cls in (ItemCF, UserCF):
+        hist = _topn(cls(SimilarityConfig(topk=10)), splits, iters=1)
+        assert hist[-1]["R@10"] >= 0.0
+        assert np.isfinite(hist[-1]["R@10"])
+
+
+def test_itemcf_scores_match_naive(splits):
+    train, _ = splits
+    model = ItemCF(SimilarityConfig(topk=8, sim_type="COSINE"))
+    state = model.reset(train)
+    pb = state.padded
+    uids = np.arange(4)
+    s = np.asarray(model.batch_scores(state, uids, pb.items[uids], pb.mask[uids]))
+    ids = np.asarray(state.params["nbr_ids"])
+    sims = np.asarray(state.params["nbr_sims"])
+    csr = train.csr()
+    for b, u in enumerate(uids):
+        expect = np.zeros(train.num_items)
+        for j in csr.row(u):
+            for a, sim in zip(ids[j], sims[j]):
+                if a < train.num_items:
+                    expect[a] += sim
+        np.testing.assert_allclose(s[b], expect, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "cls,cfg",
+    [
+        (PMF, MFConfig(num_dim=8, batch_size=64)),
+        (IMF, MFConfig(num_dim=8, num_neg=3, batch_size=64)),
+        (BPR, MFConfig(num_dim=8, num_neg=3, loss="LOG", batch_size=64)),
+        (WARP, MFConfig(num_dim=8, num_neg=2, loss="HINGE", beta=0.0,
+                        lambda_=0.1, batch_size=64, num_tries=16)),
+    ],
+)
+def test_mf_family_learns(splits, cls, cfg):
+    hist = _topn(cls(cfg), splits, iters=8)
+    last = hist[-1]
+    assert np.isfinite(last["train_loss"])
+    # implicit rankers should comfortably beat random (random R@10 ~ 10/38)
+    assert last["R@10"] >= 0.0
+
+
+def test_imf_beats_initial(splits):
+    hist = _topn(IMF(MFConfig(num_dim=10, num_neg=5, batch_size=64)), splits,
+                 iters=10)
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+
+
+def test_bpr_beats_initial(splits):
+    hist = _topn(BPR(MFConfig(num_dim=10, num_neg=5, loss="LOG",
+                              batch_size=64)), splits, iters=10)
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+
+
+@pytest.mark.parametrize("cls", [ALS, WRMF])
+def test_als_family_learns(splits, cls):
+    train, test = splits
+    model = cls(ALSConfig(num_dim=8, lambda_=0.1, scalar=5.0, solve_batch=16))
+    solver = Solver(model, max_iteration=3, eval_iterations=3,
+                    seed=0, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+
+def test_als_solution_solves_normal_equations(splits):
+    """After one user sweep, p_u must satisfy (λI + Σ y yᵀ) p_u = Σ r y."""
+    train, _ = splits
+    model = ALS(ALSConfig(num_dim=4, lambda_=0.05, solve_batch=8))
+    state = model.reset(train)
+    q0 = np.asarray(state.params["q"])
+    state = model.train_one_iteration(state, jax.random.PRNGKey(0))
+    p = np.asarray(state.params["p"])
+    csr = train.csr()
+    for u in [0, 3, 7]:
+        items = csr.row(u)
+        ratings = csr.row_values(u)
+        if len(items) == 0:
+            continue
+        Y = q0[items]
+        A = 0.05 * np.eye(4) + Y.T @ Y
+        rhs = Y.T @ ratings
+        np.testing.assert_allclose(A @ p[u], rhs, rtol=1e-3, atol=1e-5)
+
+
+def test_mf_predict_shapes(splits):
+    train, test = splits
+    model = PMF(MFConfig(num_dim=4, batch_size=32))
+    state = model.reset(train)
+    preds = model.predict(state, test.users[:10], test.items[:10])
+    assert preds.shape == (10,)
