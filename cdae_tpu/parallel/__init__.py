@@ -1,0 +1,9 @@
+from cdae_tpu.parallel.mesh import make_mesh, cdae_param_specs, batch_specs
+from cdae_tpu.parallel.topk import distributed_topk_unrated
+
+__all__ = [
+    "make_mesh",
+    "cdae_param_specs",
+    "batch_specs",
+    "distributed_topk_unrated",
+]

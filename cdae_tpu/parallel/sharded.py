@@ -1,0 +1,95 @@
+"""Sharded (multi-chip) training and eval for the flagship CDAE model.
+
+The genuinely new layer vs the reference (its training is one process of
+std::threads, SURVEY §2e): the SAME jitted train step as single-chip CDAE
+(models/cdae.py:_train_step), compiled under GSPMD with
+
+  batch arrays      P('data', ...)   — users-axis data parallelism (exact:
+                                       per-user grads are independent in the
+                                       reference, cdae.hpp:136-146)
+  W / V / b_prime   P('model', ...)  — item-axis tensor parallelism; XLA
+                                       turns the encode gather + decoder
+                                       matmul + scatter-grads into
+                                       all-gather / reduce-scatter over ICI
+  Wu / Uu           P('data', ...)   — user tables follow the batch axis
+  b                 replicated       — psum'd gradient
+
+Eval scoring shards the (B, num_items) score matrix over both axes and
+merges per-shard top-k lists (parallel/topk.py).
+
+Multi-host entry: call `jax.distributed.initialize()` before building the
+mesh (ref equivalent: none — the reference cannot scale past one host).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cdae_tpu.models.cdae import CDAE, CDAEConfig, _batch_scores, _train_step
+from cdae_tpu.parallel.mesh import batch_specs, cdae_param_specs, shard_params
+
+
+def make_sharded_train_step(model: CDAE, mesh: Mesh, params: Dict):
+    """jit the full CDAE train step with explicit in/out shardings."""
+    pspecs = cdae_param_specs(params)
+    bspecs = batch_specs()
+    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    step = functools.partial(_train_step, cfg=model.cfg, loss=model.loss)
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_sh,
+            NamedSharding(mesh, bspecs["uids"]),
+            NamedSharding(mesh, bspecs["items"]),
+            NamedSharding(mesh, bspecs["mask"]),
+            NamedSharding(mesh, bspecs["lengths"]),
+            NamedSharding(mesh, bspecs["weight"]),
+            NamedSharding(mesh, P()),  # rng key replicated
+        ),
+        out_shardings=param_sh,
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_scores(model: CDAE, mesh: Mesh, params: Dict):
+    """jit full-catalog scoring with (data, model)-sharded output."""
+    pspecs = cdae_param_specs(params)
+    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    fn = functools.partial(_batch_scores, cfg=model.cfg)
+    return jax.jit(
+        fn,
+        in_shardings=(
+            param_sh,
+            NamedSharding(mesh, P("data")),
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data", None)),
+        ),
+        out_shardings=NamedSharding(mesh, P("data", "model")),
+    )
+
+
+def shard_cdae_state(mesh: Mesh, params: Dict) -> Dict:
+    """Place CDAE params onto the mesh with their canonical layout."""
+    return shard_params(mesh, params, cdae_param_specs(params))
+
+
+def make_batch(pb, sel: np.ndarray, batch_size: int):
+    """Host-side fixed-size batch slicing (same as iter_user_batches)."""
+    pad = batch_size - len(sel)
+    weight = np.ones(batch_size, dtype=np.float32)
+    if pad > 0:
+        weight[batch_size - pad :] = 0.0
+        sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+    return (
+        pb.uids[sel],
+        pb.items[sel],
+        pb.mask[sel] & (weight[:, None] > 0),
+        (pb.lengths[sel] * weight.astype(np.int32)),
+        weight,
+    )

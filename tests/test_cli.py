@@ -1,0 +1,88 @@
+"""CLI + checkpoint tests (ref apps/yelp pipeline, SURVEY §3.1/§3.4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cdae_tpu.cli import main
+from cdae_tpu.data import io as data_io
+from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+from cdae_tpu.models.cdae import CDAE, CDAEConfig
+from cdae_tpu.models.mf import IMF, MFConfig
+from cdae_tpu.utils import checkpoint as ckpt
+
+
+def test_cli_prepare_split_train(tmp_path, movielens_path):
+    cache = str(tmp_path / "ml.bin")
+    tr_cache = str(tmp_path / "ml.train.bin")
+    te_cache = str(tmp_path / "ml.test.bin")
+    common = [
+        "--cache_file", cache,
+        "--train_cache_file", tr_cache,
+        "--test_cache_file", te_cache,
+        "--parser", "movielens",
+    ]
+    assert main(["--task", "prepare", "--input_file", movielens_path] + common) == 0
+    assert os.path.exists(cache)
+    assert main(["--task", "split"] + common) == 0
+    assert os.path.exists(tr_cache) and os.path.exists(te_cache)
+
+    ckpt_path = str(tmp_path / "cdae.ckpt")
+    rc = main(
+        ["--task", "train", "--method", "CDAE", "--num_dim", "6",
+         "--max_iters", "3", "--eval_iters", "3", "--batch_size", "32",
+         "--skip_popularity", "--checkpoint", ckpt_path] + common
+    )
+    assert rc == 0
+    assert os.path.exists(ckpt_path)
+
+    # test task restores the checkpoint and evaluates
+    rc = main(
+        ["--task", "test", "--method", "CDAE", "--num_dim", "6",
+         "--batch_size", "32", "--skip_popularity",
+         "--init_checkpoint", ckpt_path] + common
+    )
+    assert rc == 0
+
+
+def test_cli_mf_method(tmp_path, movielens_path):
+    cache = str(tmp_path / "ml.bin")
+    main(["--task", "prepare", "--input_file", movielens_path,
+          "--cache_file", cache, "--parser", "movielens"])
+    rc = main(["--task", "train", "--method", "MF", "--num_dim", "4",
+               "--max_iters", "2", "--eval_iters", "2", "--batch_size", "64",
+               "--skip_popularity", "--cache_file", cache])
+    assert rc == 0
+
+
+def test_checkpoint_roundtrip(tmp_path, movielens_path):
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    train, _ = data.split_by_user(0.2, seed=1)
+    model = CDAE(CDAEConfig(num_dim=5, batch_size=32, loss="SQUARE"))
+    state = model.reset(train, seed=0)
+    import jax
+    state = model.train_one_iteration(state, jax.random.PRNGKey(0))
+    path = str(tmp_path / "m.ckpt")
+    ckpt.save_checkpoint(path, state, extra={"method": "CDAE"})
+    state2 = model.reset(train, seed=42)  # different init
+    state2 = ckpt.load_checkpoint(path, state2)
+    assert state2.step == state.step
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(state.params[k]), np.asarray(state2.params[k])
+        )
+    assert ckpt.checkpoint_extra(path)["method"] == "CDAE"
+
+
+def test_checkpoint_dim_mismatch(tmp_path, movielens_path):
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    train, _ = data.split_by_user(0.2, seed=1)
+    model = IMF(MFConfig(num_dim=4, batch_size=32))
+    state = model.reset(train, seed=0)
+    path = str(tmp_path / "m.ckpt")
+    ckpt.save_checkpoint(path, state)
+    bad = model.reset(train.with_dims(train.num_users + 1, train.num_items),
+                      seed=0)
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(path, bad)

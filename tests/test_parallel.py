@@ -1,0 +1,123 @@
+"""Sharding layer tests on the virtual 8-device CPU mesh
+(SURVEY §4: multi-host tests via xla_force_host_platform_device_count —
+capability the reference never had)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.cdae import CDAE, CDAEConfig
+from cdae_tpu.ops.topk import topk_unrated
+from cdae_tpu.parallel.mesh import make_mesh, cdae_param_specs
+from cdae_tpu.parallel.sharded import (
+    make_batch, make_sharded_scores, make_sharded_train_step,
+    shard_cdae_state,
+)
+from cdae_tpu.parallel.topk import distributed_topk_unrated
+
+
+def _tiny(num_users=32, num_items=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pairs = np.unique(rng.integers(0, num_users * num_items, 500))
+    return Interactions.from_arrays(
+        (pairs // num_items).astype(np.int32),
+        (pairs % num_items).astype(np.int32),
+        num_users=num_users, num_items=num_items,
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return make_mesh(n_data=4, n_model=2)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(n_model=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m = make_mesh()
+    assert m.shape == {"data": 8, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3)
+
+
+def test_distributed_topk_matches_single(mesh):
+    rng = np.random.default_rng(1)
+    B, I, L, K = 8, 64, 6, 10
+    scores = jnp.asarray(rng.standard_normal((B, I)).astype(np.float32))
+    rated = np.sort(rng.choice(I, size=(B, L), replace=False), axis=1)
+    rated = jnp.asarray(rated.astype(np.int32))
+    ids_ref, vals_ref = topk_unrated(scores, rated, K)
+    ids, vals = distributed_topk_unrated(mesh, scores, rated, K)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_sharded_train_step_matches_single_chip(mesh):
+    """DP+TP sharding must be numerically exact vs the single-device step."""
+    data = _tiny()
+    model = CDAE(CDAEConfig(num_dim=16, loss="SQUARE", corruption_ratio=0.3,
+                            num_neg=2, batch_size=16))
+    state = model.reset(data, seed=0)
+    B = 16
+    uids, items, mask, lengths, weight = make_batch(
+        state.padded, np.arange(B), B
+    )
+    args = (
+        jnp.asarray(uids), jnp.asarray(items), jnp.asarray(mask),
+        jnp.asarray(lengths), jnp.asarray(weight), jax.random.PRNGKey(7),
+    )
+    # the train step donates its params argument — give each call its own copy
+    params_np = {k: np.asarray(v) for k, v in state.params.items()}
+    ref = model._train_step(
+        {k: jnp.asarray(v) for k, v in params_np.items()}, *args
+    )
+
+    params_sh = shard_cdae_state(
+        mesh, {k: jnp.asarray(v) for k, v in params_np.items()}
+    )
+    step = make_sharded_train_step(model, mesh, params_sh)
+    got = step(params_sh, *args)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_sharded_scores_match(mesh):
+    data = _tiny()
+    model = CDAE(CDAEConfig(num_dim=16, loss="SQUARE", batch_size=16))
+    state = model.reset(data, seed=0)
+    B = 16
+    uids, items, mask, lengths, weight = make_batch(
+        state.padded, np.arange(B), B
+    )
+    ref = model.batch_scores(state, uids, items, mask)
+    params_sh = shard_cdae_state(mesh, state.params)
+    fn = make_sharded_scores(model, mesh, params_sh)
+    got = fn(params_sh, jnp.asarray(uids), jnp.asarray(items),
+             jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_param_specs_cover_all_variants():
+    data = _tiny()
+    model = CDAE(CDAEConfig(num_dim=8, asymmetric=True, user_factor=True,
+                            linear_function=True, batch_size=16))
+    state = model.reset(data)
+    specs = cdae_param_specs(state.params)
+    assert set(specs) == set(state.params)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.ndim == 2
+    g.dryrun_multichip(8)
