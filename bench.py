@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: CDAE training throughput on TPU vs the reference CPU
+implementation.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload: the canonical Yelp/ML-1M-scale CDAE config (dim=50, corruption 0.5
+scaled, num_neg=5, SQUARE loss, AdaGrad — ref apps/yelp/cdae.sh:3-25) on a
+synthetic 6040-user x 3706-item dataset with a geometric degree distribution
+(mean 160 interactions/user, ~ML-1M density). Metric: training users/sec
+(one corruption pass per user per epoch, like ref cdae.hpp:136-146).
+
+Baseline: the reference repo publishes NO numbers (BASELINE.md), and its
+binary cannot be built here (Eigen/Boost absent), so the baseline is a
+faithful from-scratch C++ reproduction of its sequential per-user hot loop
+(csrc/baseline_cdae.cpp), measured on this machine's CPU: 3219 users/sec.
+Set BENCH_MEASURE_BASELINE=1 to re-measure live (compiles with g++ -O3).
+
+Env knobs: BENCH_USERS, BENCH_ITEMS, BENCH_DEG, BENCH_DIM, BENCH_BATCH,
+BENCH_EPOCHS, BENCH_SECONDS.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+# measured via csrc/baseline_cdae.cpp on this container's CPU (2026-08-16):
+# {"users_per_sec": 3219.38, U=6040, I=3706, deg=160, dim=50}
+BASELINE_USERS_PER_SEC = 3219.0
+
+
+def synthetic_interactions(num_users, num_items, avg_degree, seed=20141119):
+    from cdae_tpu.data.dataset import Interactions
+
+    rng = np.random.default_rng(seed)
+    degrees = np.minimum(
+        1 + rng.geometric(1.0 / avg_degree, size=num_users), num_items - 1
+    )
+    users = np.repeat(np.arange(num_users, dtype=np.int64), degrees)
+    items = rng.integers(0, num_items, size=len(users))
+    pairs = np.unique(users * num_items + items)
+    return Interactions.from_arrays(
+        (pairs // num_items).astype(np.int32),
+        (pairs % num_items).astype(np.int32),
+        num_users=num_users,
+        num_items=num_items,
+    )
+
+
+def measure_baseline(U, I, deg, dim, seconds=20.0):
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "csrc", "baseline_cdae.cpp")
+    exe = "/tmp/baseline_cdae_bench"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-std=c++17", "-o", exe, src],
+        check=True,
+    )
+    out = subprocess.run(
+        [exe, str(U), str(I), str(deg), str(dim), str(seconds)],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    return float(json.loads(out)["users_per_sec"])
+
+
+def main():
+    U = int(os.environ.get("BENCH_USERS", 6040))
+    I = int(os.environ.get("BENCH_ITEMS", 3706))
+    deg = int(os.environ.get("BENCH_DEG", 160))
+    dim = int(os.environ.get("BENCH_DIM", 50))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    min_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
+    budget_s = float(os.environ.get("BENCH_SECONDS", 30))
+
+    baseline = BASELINE_USERS_PER_SEC
+    if os.environ.get("BENCH_MEASURE_BASELINE"):
+        baseline = measure_baseline(U, I, deg, dim)
+        print(f"# measured baseline: {baseline:.1f} users/s", file=sys.stderr)
+
+    import jax
+
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+
+    data = synthetic_interactions(U, I, deg)
+    model = CDAE(CDAEConfig(
+        num_dim=dim, learn_rate=0.1, lambda_=0.01, loss="SQUARE",
+        corruption_ratio=0.5, scaled=True, num_neg=5, user_factor=True,
+        batch_size=batch,
+    ))
+    state = model.reset(data, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    # warmup epoch: compiles every length bucket
+    key, sub = jax.random.split(key)
+    state = model.train_one_iteration(state, sub)
+    jax.block_until_ready(state.params["W"])
+
+    t0 = time.perf_counter()
+    epochs = 0
+    while epochs < min_epochs or time.perf_counter() - t0 < budget_s:
+        key, sub = jax.random.split(key)
+        state = model.train_one_iteration(state, sub)
+        epochs += 1
+        if epochs >= 50:
+            break
+    jax.block_until_ready(state.params["W"])
+    elapsed = time.perf_counter() - t0
+
+    users_per_sec = U * epochs / elapsed
+    print(json.dumps({
+        "metric": "cdae_train_users_per_sec",
+        "value": round(users_per_sec, 1),
+        "unit": "users/s",
+        "vs_baseline": round(users_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,9 +127,37 @@ class Interactions:
         skip_header: bool = False,
         user_vocab: Optional[Vocab] = None,
         item_vocab: Optional[Vocab] = None,
+        use_native: Optional[bool] = None,
     ) -> "Interactions":
         """Stream a text file through ``parser`` (ref Data::load RECSYS path,
-        src/base/data-inl.hpp:45-64 + FileLineReader, skipping blank lines)."""
+        src/base/data-inl.hpp:45-64 + FileLineReader, skipping blank lines).
+
+        For the two built-in parsers the multithreaded C++ loader
+        (cdae_tpu/_native) is used when available; a custom ``parser``,
+        ``skip_header`` or pre-seeded vocabs force the Python path.
+        """
+        if use_native is None:
+            use_native = not skip_header and user_vocab is None and (
+                item_vocab is None
+            )
+        native_fmt = {default_line_parser: "default",
+                      movielens_line_parser: "movielens"}.get(parser)
+        if use_native and native_fmt is not None:
+            from cdae_tpu import _native
+
+            out = (
+                _native.parse_text(path, native_fmt)
+                if _native.available()
+                else None
+            )
+            if out is not None:
+                users, items, ratings, u_tok, i_tok = out
+                return cls(
+                    users, items, ratings,
+                    num_users=len(u_tok), num_items=len(i_tok),
+                    user_vocab=Vocab.from_list(u_tok),
+                    item_vocab=Vocab.from_list(i_tok),
+                )
         user_vocab = user_vocab if user_vocab is not None else Vocab()
         item_vocab = item_vocab if item_vocab is not None else Vocab()
         users, items, ratings = [], [], []
@@ -330,6 +358,13 @@ class Interactions:
 def _build_csr(
     keys: np.ndarray, vals: np.ndarray, ratings: np.ndarray, num_keys: int
 ) -> CSR:
+    from cdae_tpu import _native
+
+    if len(keys) > 100_000 and _native.available():
+        out = _native.build_csr(keys, vals, ratings, num_keys)
+        if out is not None:
+            indptr, indices, values = out
+            return CSR(indptr=indptr, indices=indices, values=values)
     # single lexsort: primary key = row, secondary = column (ascending)
     order = np.lexsort((vals, keys))
     sorted_keys = keys[order]

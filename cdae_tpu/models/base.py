@@ -41,12 +41,31 @@ def pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def ceil_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 def iter_user_batches(
-    pb: PaddedUserBatch, batch_size: int, order: Optional[np.ndarray] = None
+    pb: PaddedUserBatch,
+    batch_size: int,
+    order: Optional[np.ndarray] = None,
+    bucket_by_length: bool = False,
 ) -> Iterator[UserMinibatch]:
-    """Slice all users into fixed-size minibatches; pads the last batch."""
+    """Slice all users into fixed-size minibatches; pads the last batch.
+
+    ``bucket_by_length`` sorts users by interaction count and trims each
+    batch's item axis to the next power of two of its longest row — the
+    padding-waste fix for skewed |rated| distributions (SURVEY §7 hard part
+    (b)); the pow-2 bucketing bounds the number of distinct compiled shapes.
+    """
     U = pb.num_users
-    idx = np.arange(U) if order is None else order
+    if order is None:
+        order = (
+            np.argsort(pb.lengths, kind="stable")
+            if bucket_by_length
+            else np.arange(U)
+        )
+    idx = order
     for start in range(0, U, batch_size):
         sel = idx[start : start + batch_size]
         pad = batch_size - len(sel)
@@ -54,12 +73,21 @@ def iter_user_batches(
         if pad > 0:
             sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
             weight[batch_size - pad :] = 0.0
+        items = pb.items[sel]
+        ratings = pb.ratings[sel]
+        mask = pb.mask[sel]
+        lengths = pb.lengths[sel] * weight.astype(np.int32)
+        if bucket_by_length:
+            L = min(ceil_pow2(max(int(lengths.max()), 1)), pb.max_len)
+            items = items[:, :L]
+            ratings = ratings[:, :L]
+            mask = mask[:, :L]
         yield UserMinibatch(
             uids=pb.uids[sel],
-            items=pb.items[sel],
-            ratings=pb.ratings[sel],
-            mask=pb.mask[sel] & (weight[:, None] > 0),
-            lengths=(pb.lengths[sel] * weight.astype(np.int32)),
+            items=items,
+            ratings=ratings,
+            mask=mask & (weight[:, None] > 0),
+            lengths=lengths,
             weight=weight,
         )
 

@@ -68,6 +68,7 @@ class CDAEConfig:
     tanh: bool = False
     # --- TPU build knobs (no reference equivalent) ---
     batch_size: int = 128  # users per synchronous minibatch
+    bucket_by_length: bool = True  # sort users by |rated|, pow-2 item axis
     dtype: Any = jnp.float32
 
 
@@ -142,7 +143,9 @@ class CDAE(RecsysModel):
     def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
         cfg = self.cfg
         params = state.params
-        for batch in iter_user_batches(state.padded, cfg.batch_size):
+        for batch in iter_user_batches(
+            state.padded, cfg.batch_size, bucket_by_length=cfg.bucket_by_length
+        ):
             for c in range(cfg.num_corruptions):
                 rng_key, sub = jax.random.split(rng_key)
                 params = self._train_step(
@@ -165,7 +168,10 @@ class CDAE(RecsysModel):
         if rng_key is None:
             rng_key = jax.random.PRNGKey(state.step)
         total = 0.0
-        for batch in iter_user_batches(state.padded, self.cfg.batch_size):
+        for batch in iter_user_batches(
+            state.padded, self.cfg.batch_size,
+            bucket_by_length=self.cfg.bucket_by_length,
+        ):
             rng_key, sub = jax.random.split(rng_key)
             total += float(
                 self._data_loss(
