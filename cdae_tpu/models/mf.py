@@ -138,6 +138,7 @@ class _MFBase(RecsysModel):
         self._jit_loss = jax.jit(
             functools.partial(_mf_data_loss, loss=self.loss)
         )
+        self._jit_epoch = None  # built lazily (needs static num_batches)
 
     def reset(self, data: Interactions, seed: int = 0) -> ModelState:
         U, I = data.num_users, data.num_items
@@ -149,36 +150,66 @@ class _MFBase(RecsysModel):
         state.aux["coo"] = (data.users, data.items, data.ratings)
         return state
 
-    # -- epoch: shuffled instance minibatches --------------------------------
-    def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
-        users, items, ratings = state.aux["coo"]
-        n = len(users)
+    # -- epoch: one fused device program --------------------------------------
+    # The whole epoch (on-device shuffle -> lax.scan over fixed-size instance
+    # minibatches) runs as ONE dispatch; the reference's per-instance loop
+    # (e.g. imf.hpp:71-85) would leave the TPU >95% idle on host overhead.
+    def _build_epoch(self, num_batches: int):
+        step = functools.partial(self._step, cfg=self.cfg, loss=self.loss)
         bs = self.cfg.batch_size
-        perm = np.random.default_rng(
-            np.asarray(jax.random.key_data(rng_key))[-1]
-        ).permutation(n)
-        params = state.params
-        pb = state.padded
-        for start in range(0, n, bs):
-            sel = perm[start : start + bs]
-            pad = bs - len(sel)
-            w = np.ones(bs, dtype=np.float32)
+
+        def epoch(params, users, items, ratings, pad_items, pad_lengths, key):
+            n = users.shape[0]
+            kperm, kstep = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)
+            total = num_batches * bs
+            pad = total - n
             if pad > 0:
-                w[bs - pad :] = 0.0
-                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
-            u = users[sel]
-            rng_key, sub = jax.random.split(rng_key)
-            params = self._jit_step(
-                params,
-                jnp.asarray(u),
-                jnp.asarray(items[sel]),
-                jnp.asarray(ratings[sel]),
-                jnp.asarray(w),
-                jnp.asarray(pb.items[u]),
-                jnp.asarray(pb.lengths[u]),
-                sub,
+                perm = jnp.concatenate(
+                    [perm, jnp.zeros((pad,), perm.dtype)]
+                )
+            w_all = (jnp.arange(total) < n).astype(jnp.float32)
+            sel_mat = perm.reshape(num_batches, bs)
+            w_mat = w_all.reshape(num_batches, bs)
+
+            def body(carry, inp):
+                params, key = carry
+                sel, w = inp
+                u = users[sel]
+                key, sub = jax.random.split(key)
+                params = step(
+                    params, u, items[sel], ratings[sel], w,
+                    pad_items[u], pad_lengths[u], sub,
+                )
+                return (params, key), None
+
+            (params, _), _ = jax.lax.scan(body, (params, kstep),
+                                          (sel_mat, w_mat))
+            return params
+
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    def _device_data(self, state: ModelState):
+        if "device_data" not in state.aux:
+            users, items, ratings = state.aux["coo"]
+            pb = state.padded
+            state.aux["device_data"] = (
+                jnp.asarray(users), jnp.asarray(items), jnp.asarray(ratings),
+                jnp.asarray(pb.items), jnp.asarray(pb.lengths),
             )
-        state.params = params
+        return state.aux["device_data"]
+
+    def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        n = len(state.aux["coo"][0])
+        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        if self._jit_epoch is None or self._epoch_batches != num_batches:
+            self._jit_epoch = self._build_epoch(num_batches)
+            self._epoch_batches = num_batches
+        users, items, ratings, pad_items, pad_lengths = self._device_data(state)
+        state.params = self._jit_epoch(
+            state.params, users, items, ratings, pad_items, pad_lengths,
+            rng_key,
+        )
         state.step += 1
         return state
 

@@ -45,12 +45,14 @@ class Solver:
         eval_iterations: int = 1,
         seed: int = 0,
         verbose: bool = True,
+        trace_dir: Optional[str] = None,
     ):
         self.model = model
         self.max_iteration = int(max_iteration)
         self.eval_iterations = max(int(eval_iterations), 1)
         self.seed = seed
         self.verbose = verbose
+        self.trace_dir = trace_dir  # jax.profiler trace output (SURVEY §5)
         self.state = None
         self.history: List[Dict[str, float]] = []
 
@@ -111,16 +113,20 @@ class Solver:
         train_loss = 0.0
         self._eval_row(0, t, train_loss, evaluations, validation_data, train_data)
 
+        from cdae_tpu.utils.profiling import trace
+
         iteration = 0
-        while iteration < self.max_iteration:
-            rng, sub = jax.random.split(rng)
-            self.train_one_iteration(train_data, sub)
-            train_loss = self.model.current_loss(self.state)
-            iteration += 1
-            if iteration % self.eval_iterations == 0:
-                self._eval_row(
-                    iteration, t, train_loss, evaluations, validation_data, train_data
-                )
+        with trace(self.trace_dir):
+            while iteration < self.max_iteration:
+                rng, sub = jax.random.split(rng)
+                self.train_one_iteration(train_data, sub)
+                train_loss = self.model.current_loss(self.state)
+                iteration += 1
+                if iteration % self.eval_iterations == 0:
+                    self._eval_row(
+                        iteration, t, train_loss, evaluations,
+                        validation_data, train_data,
+                    )
         self._log("-" * 110)
         return self.state
 
