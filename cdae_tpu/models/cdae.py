@@ -69,6 +69,7 @@ class CDAEConfig:
     # --- TPU build knobs (no reference equivalent) ---
     batch_size: int = 128  # users per synchronous minibatch
     bucket_by_length: bool = True  # sort users by |rated|, pow-2 item axis
+    use_pallas: Optional[bool] = None  # pallas decode kernel; None = auto(TPU)
     dtype: Any = jnp.float32
 
 
@@ -98,6 +99,12 @@ class CDAE(RecsysModel):
 
     def __init__(self, config: Optional[CDAEConfig] = None, **kw):
         self.cfg = config if config is not None else CDAEConfig(**kw)
+        if self.cfg.use_pallas is None:
+            # single-chip TPU only; the sharded eval path (parallel/sharded)
+            # overrides this with the plain XLA matmul
+            self.cfg = dataclasses.replace(
+                self.cfg, use_pallas=jax.default_backend() == "tpu"
+            )
         self.loss = Loss.create(self.cfg.loss)
         self.penalty = Penalty.create(self.cfg.penalty)
         self._train_step = jax.jit(
@@ -479,4 +486,8 @@ def _batch_scores(params, uids, rated_items, rated_mask, *, cfg: CDAEConfig):
         in_mask = rated_mask
     z = _hidden(params, uids, rated_items, in_mask, 1.0, cfg)
     table = params["V"] if cfg.asymmetric else params["W"]
+    if cfg.use_pallas:
+        from cdae_tpu.ops.pallas_kernels import decode_scores
+
+        return decode_scores(z, table, params["b_prime"])
     return z @ table.T + params["b_prime"][None, :]

@@ -1,0 +1,213 @@
+"""Pallas TPU kernels for the hot compute paths (SURVEY §7 stage 7).
+
+Every kernel has an XLA-equivalent reference path and is validated against it
+in tests/test_pallas.py (interpret mode on CPU, compiled on TPU):
+
+  decode_scores   — tiled full-catalog decoder matmul  z @ Wᵀ + b'
+                    (the recommend-time hot loop, ref cdae.hpp:162-196),
+                    MXU-tiled with fused bias add.
+  adagrad_update  — fused dense AdaGrad accumulate-then-apply
+                    (a += g²; p -= lr·g/(β+√a), ref cdae.hpp:230-236) in one
+                    pass over HBM with in-place buffer donation (3 reads +
+                    2 writes instead of XLA's worst-case extra temporaries).
+  streaming_topk_scores — NOT a Pallas kernel: a lax.scan blockwise
+                    decode+merge top-k that never materializes (B, I) scores;
+                    the memory-bounded path for Netflix/1M-item catalogs
+                    (SURVEY §5 "blockwise accumulation").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ------------------------------------------------------------- decode -------
+
+def _decode_kernel(z_ref, w_ref, bp_ref, out_ref):
+    # z: (TB, D), w: (TI, D), bp: (1, TI) -> out: (TB, TI)
+    out_ref[:] = (
+        jax.lax.dot_general(
+            z_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bp_ref[:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "tile_i"))
+def decode_scores(
+    z: jnp.ndarray,  # (B, D)
+    W: jnp.ndarray,  # (I, D) decoder table (W or V)
+    b_prime: jnp.ndarray,  # (I,)
+    tile_b: int = 128,
+    tile_i: int = 512,
+) -> jnp.ndarray:
+    """(B, I) decoder scores via a Pallas MXU kernel with fused bias."""
+    B, D = z.shape
+    I = W.shape[0]
+    Bp, Ip = _round_up(B, tile_b), _round_up(I, tile_i)
+    Dp = _round_up(D, 128)
+    zp = jnp.pad(z, ((0, Bp - B), (0, Dp - D)))
+    Wp = jnp.pad(W, ((0, Ip - I), (0, Dp - D)))
+    bpp = jnp.pad(b_prime, (0, Ip - I)).reshape(1, Ip)
+    grid = (Bp // tile_b, Ip // tile_i)
+    out = pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, Ip), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_b, Dp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, Dp), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_i), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_b, tile_i), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Ip * Dp,
+            bytes_accessed=(Bp * Dp + Ip * Dp + Bp * Ip) * 4,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(zp, Wp, bpp)
+    return out[:B, :I]
+
+
+# ------------------------------------------------------------- adagrad ------
+
+def _adagrad_kernel(lr_ref, beta_ref, p_ref, a_ref, g_ref,
+                    p_out_ref, a_out_ref):
+    g = g_ref[:]
+    a = a_ref[:] + g * g
+    a_out_ref[:] = a
+    p_out_ref[:] = p_ref[:] - lr_ref[0, 0] * g / (
+        beta_ref[0, 0] + jnp.sqrt(a)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile",), donate_argnums=(0, 1))
+def adagrad_update(
+    param: jnp.ndarray,  # (N, D)
+    acc: jnp.ndarray,  # (N, D)
+    grad: jnp.ndarray,  # (N, D)
+    lr: float,
+    beta: float = 0.0,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused AdaGrad step; donates param/acc buffers (in-place on TPU)."""
+    orig_shape = param.shape
+    if param.ndim == 1:
+        param = param[:, None]
+        acc = acc[:, None]
+        grad = grad[:, None]
+    N, D = param.shape
+    Np, Dp = _round_up(N, tile), _round_up(D, 128)
+    pp = jnp.pad(param, ((0, Np - N), (0, Dp - D)))
+    ap = jnp.pad(acc, ((0, Np - N), (0, Dp - D)))
+    gp = jnp.pad(grad, ((0, Np - N), (0, Dp - D)))
+    lr_s = jnp.full((1, 1), lr, jnp.float32)
+    beta_s = jnp.full((1, 1), beta, jnp.float32)
+    p_new, a_new = pl.pallas_call(
+        _adagrad_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, Dp), param.dtype),
+            jax.ShapeDtypeStruct((Np, Dp), acc.dtype),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(Np // tile,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        input_output_aliases={2: 0, 3: 1},  # param->p_out, acc->a_out
+        interpret=_use_interpret(),
+    )(lr_s, beta_s, pp, ap, gp)
+    p_new = p_new[:N, :D].reshape(orig_shape)
+    a_new = a_new[:N, :D].reshape(orig_shape)
+    return p_new, a_new
+
+
+# ------------------------------------------------- streaming top-k (XLA) ----
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def streaming_topk_scores(
+    z: jnp.ndarray,  # (B, D) hidden codes
+    W: jnp.ndarray,  # (I, D) decoder table
+    b_prime: jnp.ndarray,  # (I,)
+    rated_items: jnp.ndarray,  # (B, L) sorted, padded with I
+    k: int = 10,
+    block: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k unrated items WITHOUT materializing (B, I) scores.
+
+    lax.scan over catalog blocks of ``block`` items: decode the block
+    (MXU matmul), mask the user's rated items falling in the block
+    (searchsorted on the sorted rated rows), and merge into the running
+    (B, k) top-k. Peak memory O(B·(block + k)) — the scalable eval path for
+    catalogs where B·I would blow HBM (BASELINE.json configs 4-5).
+    """
+    B, D = z.shape
+    I = W.shape[0]
+    nblk = -(-I // block)
+    Ip = nblk * block
+    Wp = jnp.pad(W, ((0, Ip - I), (0, 0)))
+    bpp = jnp.pad(b_prime, (0, Ip - I), constant_values=-jnp.inf)
+
+    def body(carry, blk_idx):
+        run_vals, run_ids = carry
+        start = blk_idx * block
+        Wb = jax.lax.dynamic_slice(Wp, (start, 0), (block, D))
+        bb = jax.lax.dynamic_slice(bpp, (start,), (block,))
+        scores = z @ Wb.T + bb[None, :]  # (B, block)
+        # mask rated ids that fall inside this block
+        local = rated_items - start
+        in_blk = (local >= 0) & (local < block)
+        col = jnp.where(in_blk, local, block)
+        b_idx = jnp.arange(B)[:, None]
+        scores = scores.at[b_idx, col].set(-jnp.inf, mode="drop")
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
+        cat_vals = jnp.concatenate([run_vals, scores], axis=1)
+        cat_ids = jnp.concatenate([run_ids, ids], axis=1)
+        vals, idx = jax.lax.top_k(cat_vals, k)
+        return (vals, jnp.take_along_axis(cat_ids, idx, axis=1)), None
+
+    init = (
+        jnp.full((B, k), -jnp.inf, jnp.float32),
+        jnp.full((B, k), I, jnp.int32),
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, jnp.arange(nblk))
+    return ids, vals

@@ -59,9 +59,14 @@ def make_sharded_train_step(model: CDAE, mesh: Mesh, params: Dict):
 
 def make_sharded_scores(model: CDAE, mesh: Mesh, params: Dict):
     """jit full-catalog scoring with (data, model)-sharded output."""
+    import dataclasses
+
     pspecs = cdae_param_specs(params)
     param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
-    fn = functools.partial(_batch_scores, cfg=model.cfg)
+    # sharded decode stays on the plain XLA matmul — the pallas kernel is a
+    # single-device fast path and does not partition under GSPMD
+    cfg = dataclasses.replace(model.cfg, use_pallas=False)
+    fn = functools.partial(_batch_scores, cfg=cfg)
     return jax.jit(
         fn,
         in_shardings=(
