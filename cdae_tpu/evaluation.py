@@ -137,27 +137,22 @@ class RecListEvaluation(Evaluation):
             M.TOPN_COLUMNS if kind == EvalType.TOPN else M.RANKING_COLUMNS
         )
         self.batch_size = max(int(batch_size), 1)
+        self._cache_key = None
+        self._cache = None
 
-    def evaluate(self, model, state, validation, train=None) -> Dict[str, float]:
-        t = Timer()
-        if train is None:
-            raise ValueError(f"{self.kind.value} evaluation requires train data")
+    def _batches(self, validation, train):
+        """Device-resident eval batches, built once per (train, validation)
+        pair — the solver evaluates the same datasets every cadence, so the
+        padding + H2D transfer cost is paid a single time."""
+        key = (id(train), id(validation), self.batch_size)
+        if self._cache_key == key:
+            return self._cache
         train_pb = train.padded()
         val_pb = validation.padded()
-        U = train_pb.num_users
-        # only batch users that have validation items; zero-rows of others
-        # contribute nothing to the sum (ref evaluation.hpp:139-144 skips them)
         val_users = np.nonzero(val_pb.lengths > 0)[0].astype(np.int32)
-        num_val_users = len(val_users)
-        if num_val_users == 0:
-            out = {c: 0.0 for c in self.columns}
-            out["TestTime"] = t.elapsed()
-            return out
-        if hasattr(model, "pre_recommend"):
-            model.pre_recommend(state)  # ref evaluation.hpp:135 hook
+        batches = []
         bs = self.batch_size
-        col_sum = np.zeros(len(self.columns), dtype=np.float64)
-        for start in range(0, num_val_users, bs):
+        for start in range(0, len(val_users), bs):
             sel = val_users[start : start + bs]
             pad = bs - len(sel)
             weight = np.ones(bs, dtype=np.float32)
@@ -167,13 +162,37 @@ class RecListEvaluation(Evaluation):
             uids, rated_items, _, rated_mask = _slice_batch(train_pb, sel)
             _, val_items, val_ratings, val_mask = _slice_batch(val_pb, sel)
             val_mask = val_mask & (weight[:, None] > 0)
-            scores = model.batch_scores(state, uids, rated_items, rated_mask)
-            rows = _rec_metric_rows(
-                scores,
+            batches.append((
+                uids,
                 jnp.asarray(rated_items),
+                jnp.asarray(rated_mask),
                 jnp.asarray(val_items),
                 jnp.asarray(val_ratings),
                 jnp.asarray(val_mask),
+            ))
+        self._cache_key = key
+        self._cache = (len(val_users), batches)
+        return self._cache
+
+    def evaluate(self, model, state, validation, train=None) -> Dict[str, float]:
+        t = Timer()
+        if train is None:
+            raise ValueError(f"{self.kind.value} evaluation requires train data")
+        # only users with validation items are batched; others contribute
+        # nothing to the sum (ref evaluation.hpp:139-144 skips them)
+        num_val_users, batches = self._batches(validation, train)
+        if num_val_users == 0:
+            out = {c: 0.0 for c in self.columns}
+            out["TestTime"] = t.elapsed()
+            return out
+        if hasattr(model, "pre_recommend"):
+            model.pre_recommend(state)  # ref evaluation.hpp:135 hook
+        col_sum = np.zeros(len(self.columns), dtype=np.float64)
+        for (uids, rated_items, rated_mask, val_items, val_ratings,
+             val_mask) in batches:
+            scores = model.batch_scores(state, uids, rated_items, rated_mask)
+            rows = _rec_metric_rows(
+                scores, rated_items, val_items, val_ratings, val_mask,
                 self.kind.value,
             )
             col_sum += np.asarray(jnp.sum(rows, axis=0), dtype=np.float64)

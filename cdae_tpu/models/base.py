@@ -106,6 +106,61 @@ class ModelState:
     aux: dict = dataclasses.field(default_factory=dict)
 
 
+def iter_user_batches_csr(
+    csr,
+    num_items: int,
+    batch_size: int,
+    bucket_by_length: bool = True,
+    max_len_cap: Optional[int] = None,
+) -> Iterator[UserMinibatch]:
+    """Stream fixed-size user minibatches straight from a CSR view without
+    materializing the full (U, max_len) padded matrix — the O(nnz) memory
+    path for huge user counts (BASELINE.json configs 4-5: Netflix-scale /
+    10M users). Semantics match iter_user_batches over Interactions.padded().
+    """
+    lengths_all = csr.row_lengths().astype(np.int32)
+    U = len(lengths_all)
+    global_max = max(int(lengths_all.max()) if U else 1, 1)
+    order = (
+        np.argsort(lengths_all, kind="stable")
+        if bucket_by_length
+        else np.arange(U)
+    )
+    for start in range(0, U, batch_size):
+        sel = order[start : start + batch_size]
+        pad = batch_size - len(sel)
+        weight = np.ones(batch_size, dtype=np.float32)
+        if pad > 0:
+            sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+            weight[batch_size - pad :] = 0.0
+        lengths = lengths_all[sel] * weight.astype(np.int32)
+        Lmax = max(int(lengths.max()), 1)
+        # same bucket rule as the padded path: pow-2, capped at the global
+        # max row length (keeps both paths shape- and RNG-identical)
+        L = min(ceil_pow2(Lmax), global_max)
+        if max_len_cap:
+            L = min(L, max_len_cap)
+        items = np.full((batch_size, L), num_items, dtype=np.int32)
+        ratings = np.zeros((batch_size, L), dtype=np.float32)
+        for row, u in enumerate(sel):
+            if weight[row] == 0:
+                continue
+            s, e = csr.indptr[u], csr.indptr[u + 1]
+            n = min(int(e - s), L)
+            items[row, :n] = csr.indices[s : s + n]
+            ratings[row, :n] = csr.values[s : s + n]
+        lengths = np.minimum(lengths, L)
+        mask = np.arange(L)[None, :] < lengths[:, None]
+        yield UserMinibatch(
+            uids=sel.astype(np.int32),
+            items=items,
+            ratings=ratings,
+            mask=mask,
+            lengths=lengths,
+            weight=weight,
+        )
+
+
 class RecsysModel:
     """Base class; concrete models implement the protocol methods."""
 

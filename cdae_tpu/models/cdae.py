@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from cdae_tpu.data.dataset import Interactions, PaddedUserBatch
-from cdae_tpu.models.base import RecsysModel, UserMinibatch, iter_user_batches
+from cdae_tpu.models.base import (
+    RecsysModel,
+    UserMinibatch,
+    iter_user_batches,
+    iter_user_batches_csr,
+)
 from cdae_tpu.ops import corruption, sampling
 from cdae_tpu.ops.losses import Loss, LossType
 from cdae_tpu.ops.penalties import Penalty, PenaltyType
@@ -70,6 +75,9 @@ class CDAEConfig:
     batch_size: int = 128  # users per synchronous minibatch
     bucket_by_length: bool = True  # sort users by |rated|, pow-2 item axis
     use_pallas: Optional[bool] = None  # pallas decode kernel; None = auto(TPU)
+    stream_batches: Optional[bool] = None  # CSR streaming (no full padded
+    # matrix); None = auto when U*max_len would exceed ~2e8 elements
+    cache_device_batches: bool = True  # keep all batches device-resident
     dtype: Any = jnp.float32
 
 
@@ -143,27 +151,56 @@ class CDAE(RecsysModel):
         if cfg.linear_function:
             params["Uu"] = jnp.ones((U, D), dt)
             params["Uu_ag"] = jnp.full((U, D), ADAGRAD_INIT, dt)
-        return CDAEState(
-            params=params, padded=data.padded(), num_users=U, num_items=I
+        csr = data.csr()
+        stream = cfg.stream_batches
+        if stream is None:
+            max_len = int(csr.row_lengths().max()) if len(csr.indices) else 1
+            stream = U * max_len > 200_000_000  # full padding would blow RAM
+        state = CDAEState(
+            params=params,
+            padded=None if stream else data.padded(),
+            num_users=U,
+            num_items=I,
         )
+        state.aux["csr"] = csr
+        return state
 
     # ------------------------------------------------------------- train ----
+    def _host_batches(self, state: CDAEState):
+        """Host batch stream: full-padded slicing when the padded matrix is
+        materialized, O(nnz) CSR streaming otherwise (huge user counts)."""
+        cfg = self.cfg
+        if state.padded is not None:
+            return iter_user_batches(
+                state.padded, cfg.batch_size,
+                bucket_by_length=cfg.bucket_by_length,
+            )
+        return iter_user_batches_csr(
+            state.aux["csr"], state.num_items, cfg.batch_size,
+            bucket_by_length=cfg.bucket_by_length,
+        )
+
     def _device_batches(self, state: CDAEState):
         """Device-resident minibatch cache. Training data is static across
         epochs, so the padded/bucketed batches are transferred ONCE; every
         later epoch runs pure device dispatches (host slicing + H2D copies
-        were >95% of epoch wall time otherwise)."""
-        if "device_batches" not in state.aux:
-            cfg = self.cfg
-            out = []
-            for b in iter_user_batches(
-                state.padded, cfg.batch_size,
-                bucket_by_length=cfg.bucket_by_length,
-            ):
-                out.append(tuple(jnp.asarray(x) for x in (
+        were >95% of epoch wall time otherwise). With
+        cache_device_batches=False the stream is re-built per epoch
+        (O(nnz) host work, minimal HBM)."""
+        if not self.cfg.cache_device_batches:
+            return (
+                tuple(jnp.asarray(x) for x in (
                     b.uids, b.items, b.mask, b.lengths, b.weight
-                )))
-            state.aux["device_batches"] = out
+                ))
+                for b in self._host_batches(state)
+            )
+        if "device_batches" not in state.aux:
+            state.aux["device_batches"] = [
+                tuple(jnp.asarray(x) for x in (
+                    b.uids, b.items, b.mask, b.lengths, b.weight
+                ))
+                for b in self._host_batches(state)
+            ]
         return state.aux["device_batches"]
 
     def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
@@ -218,9 +255,11 @@ class CDAE(RecsysModel):
         )
 
     def user_representations(self, state: CDAEState) -> np.ndarray:
-        """Hidden codes for all users (ref cdae.hpp:148-159)."""
-        out = []
-        for batch in iter_user_batches(state.padded, self.cfg.batch_size):
+        """Hidden codes for all users (ref cdae.hpp:148-159), returned in
+        uid order."""
+        U = state.num_users
+        out = np.zeros((U, self.cfg.num_dim), dtype=np.float32)
+        for batch in self._host_batches(state):
             z = _hidden(
                 state.params,
                 jnp.asarray(batch.uids),
@@ -229,18 +268,35 @@ class CDAE(RecsysModel):
                 1.0,
                 self.cfg,
             )
-            out.append(np.asarray(z)[batch.weight > 0])
-        return np.concatenate(out, axis=0)
+            real = batch.weight > 0
+            out[batch.uids[real]] = np.asarray(z)[real]
+        return out
+
+    def _user_rows(self, state: CDAEState, users_np: np.ndarray):
+        """(B, L) rated rows + mask for specific users (padded or CSR)."""
+        if state.padded is not None:
+            pb = state.padded
+            return pb.items[users_np], pb.mask[users_np]
+        csr = state.aux["csr"]
+        lengths = np.diff(csr.indptr)[users_np].astype(np.int32)
+        L = max(int(lengths.max()) if len(lengths) else 1, 1)
+        items = np.full((len(users_np), L), state.num_items, np.int32)
+        for row, u in enumerate(users_np):
+            s, e = csr.indptr[u], csr.indptr[u + 1]
+            items[row, : e - s] = csr.indices[s:e]
+        mask = np.arange(L)[None, :] < lengths[:, None]
+        return items, mask
 
     def predict(self, state: CDAEState, users, items):
+        users_np = np.asarray(users)
+        rated_items, rated_mask = self._user_rows(state, users_np)
         users = jnp.asarray(users)
         items = jnp.asarray(items)
-        pb = state.padded
         z = _hidden(
             state.params,
             users,
-            jnp.asarray(pb.items[np.asarray(users)]),
-            jnp.asarray(pb.mask[np.asarray(users)]),
+            jnp.asarray(rated_items),
+            jnp.asarray(rated_mask),
             1.0,
             self.cfg,
         )

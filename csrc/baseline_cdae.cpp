@@ -1,7 +1,9 @@
-// Faithful CPU reproduction of the reference CDAE training hot loop, used to
-// MEASURE the performance baseline (the reference repo publishes no numbers;
-// see BASELINE.md). Mirrors /root/reference/src/model/recsys/cdae.hpp
-// semantics re-implemented from scratch:
+// Faithful CPU reproduction of the reference CDAE training loop, used to
+// MEASURE the performance baseline and to provide METRIC-PARITY evidence
+// (the reference repo publishes no numbers and its binary needs Eigen/Boost,
+// absent here; see BASELINE.md). Mirrors
+// /root/reference/src/model/recsys/cdae.hpp semantics re-implemented from
+// scratch:
 //   - per-user sequential SGD, one corruption per user per epoch
 //     (cdae.hpp:136-146)
 //   - Bernoulli mask-out corruption kept w.p. (1-q), scaled 1/(1-q)
@@ -11,140 +13,259 @@
 //   - per-positive and per-negative (num_neg*|O_u| rejection-sampled)
 //     AdaGrad updates of b', W rows; hidden-gradient accumulation;
 //     b / Wu / input-row updates (cdae.hpp:198-358)
-// Implementation uses plain float arrays (no Eigen temporaries), so it is a
-// conservative (fast) stand-in for the reference's throughput.
+//   - recommend: uncorrupted hidden state, full-catalog scan, top-10
+//     excluding rated (cdae.hpp:162-196)
+// Plain float arrays (no Eigen temporaries) => a conservative (fast)
+// stand-in for the reference's throughput.
 //
-// Usage: baseline_cdae [num_users] [num_items] [avg_degree] [dim] [seconds]
-// Prints one JSON line {"users_per_sec": X, ...}.
+// Modes:
+//   baseline_cdae bench  [U I avg_degree dim seconds]
+//   baseline_cdae parity train.txt test.txt [iters dim cratio num_neg lr]
+// Each prints one JSON line.
 
 #include <algorithm>
 #include <chrono>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
+#include <fstream>
 #include <random>
+#include <string>
 #include <unordered_set>
 #include <vector>
 
-static inline float sigmoid_clamped(float x) {
+namespace {
+
+std::mt19937_64 g_rng(20141119);
+
+inline float sigmoid_clamped(float x) {
   if (x > 18.f) return 1.f;
   if (x < -18.f) return 0.f;
   return 1.f / (1.f + std::exp(-x));
 }
 
-int main(int argc, char** argv) {
-  size_t U = argc > 1 ? std::strtoul(argv[1], nullptr, 10) : 6040;
-  size_t I = argc > 2 ? std::strtoul(argv[2], nullptr, 10) : 3706;
-  size_t deg = argc > 3 ? std::strtoul(argv[3], nullptr, 10) : 160;
-  size_t D = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 50;
-  double budget_s = argc > 5 ? std::strtod(argv[5], nullptr) : 20.0;
+struct CDAEModel {
+  size_t U, I, D;
+  float lr, lambda, beta, cratio, scale;
+  int num_neg;
+  std::vector<float> W, W_ag, Wu, Wu_ag, b, b_ag, bp, bp_ag;
 
-  const float lr = 0.1f, lambda = 0.01f, beta = 0.f;
-  const float cratio = 0.5f, scale = 1.f / (1.f - cratio);
-  const int num_neg = 5;
+  CDAEModel(size_t U_, size_t I_, size_t D_, float lr_, float lambda_,
+            float beta_, float cratio_, int num_neg_, bool scaled)
+      : U(U_), I(I_), D(D_), lr(lr_), lambda(lambda_), beta(beta_),
+        cratio(cratio_),
+        scale(scaled && cratio_ < 1.f ? 1.f / (1.f - cratio_) : 1.f),
+        num_neg(num_neg_), W(I * D), W_ag(I * D, 1e-4f), Wu(U * D),
+        Wu_ag(U * D, 1e-4f), b(D, 0.f), b_ag(D, 1e-4f), bp(I, 0.f),
+        bp_ag(I, 1e-4f) {
+    float init = 4.f * std::sqrt(6.f / (float)(I + D));
+    std::uniform_real_distribution<float> winit(-init, init);
+    for (auto& w : W) w = winit(g_rng);
+    for (auto& w : Wu) w = winit(g_rng);
+  }
 
-  std::mt19937_64 rng(20141119);
-  std::uniform_real_distribution<float> unif(0.f, 1.f);
+  void hidden(size_t u, const std::vector<int>& in_items, float in_scale,
+              std::vector<float>& z) const {
+    for (size_t k = 0; k < D; ++k) z[k] = b[k] + Wu[u * D + k];
+    for (int it : in_items)
+      for (size_t k = 0; k < D; ++k)
+        z[k] += in_scale * W[(size_t)it * D + k];
+    for (size_t k = 0; k < D; ++k) z[k] = sigmoid_clamped(z[k]);
+  }
+
+  void train_one_user(size_t u, const std::vector<int>& items) {
+    std::uniform_real_distribution<float> unif(0.f, 1.f);
+    std::uniform_int_distribution<size_t> item_dist(0, I - 1);
+    std::unordered_set<int> item_set(items.begin(), items.end());
+    std::vector<int> kept_ids;
+    for (int it : items)
+      if (unif(g_rng) > cratio) kept_ids.push_back(it);
+    std::vector<float> z(D), hg(D, 0.f);
+    hidden(u, kept_ids, scale, z);
+
+    auto touch_output = [&](int o, float truth) {
+      float* wo = &W[(size_t)o * D];
+      float pred = bp[o];
+      for (size_t k = 0; k < D; ++k) pred += wo[k] * z[k];
+      float g = -2.f * (truth - pred);  // SQUARE loss gradient
+      float gb = g + lambda * bp[o];
+      bp_ag[o] += gb * gb;
+      bp[o] -= lr * gb / (beta + std::sqrt(bp_ag[o]));
+      for (size_t k = 0; k < D; ++k) hg[k] += g * wo[k];
+      float* wag = &W_ag[(size_t)o * D];
+      for (size_t k = 0; k < D; ++k) {
+        float gw = g * z[k] + lambda * wo[k];
+        wag[k] += gw * gw;
+        wo[k] -= lr * gw / (beta + std::sqrt(wag[k]));
+      }
+    };
+
+    for (int o : items) touch_output(o, 1.f);
+    size_t nneg = (size_t)num_neg * items.size();
+    for (size_t s = 0; s < nneg; ++s) {
+      int j;
+      do { j = (int)item_dist(g_rng); } while (item_set.count(j));
+      touch_output(j, 0.f);
+    }
+    for (size_t k = 0; k < D; ++k) hg[k] *= z[k] * (1.f - z[k]);
+    for (size_t k = 0; k < D; ++k) {
+      float gb = hg[k] + lambda * b[k];
+      b_ag[k] += gb * gb;
+      b[k] -= lr * gb / (beta + std::sqrt(b_ag[k]));
+      float gu = hg[k] + lambda * Wu[u * D + k];
+      Wu_ag[u * D + k] += gu * gu;
+      Wu[u * D + k] -= lr * gu / (beta + std::sqrt(Wu_ag[u * D + k]));
+    }
+    for (int it : kept_ids) {
+      float* wi = &W[(size_t)it * D];
+      float* wag = &W_ag[(size_t)it * D];
+      for (size_t k = 0; k < D; ++k) {
+        float gw = hg[k] * scale + lambda * wi[k];
+        wag[k] += gw * gw;
+        wi[k] -= lr * gw / (beta + std::sqrt(wag[k]));
+      }
+    }
+  }
+
+  // top-10 unrated items (heap-free partial sort; same result as the
+  // reference bounded heap, cdae.hpp:162-196)
+  std::vector<int> recommend(size_t u, const std::vector<int>& rated,
+                             size_t topk) const {
+    std::vector<float> z(D);
+    hidden(u, rated, 1.f, z);  // UNcorrupted input, scale 1
+    std::unordered_set<int> rated_set(rated.begin(), rated.end());
+    std::vector<std::pair<float, int>> cand;
+    cand.reserve(I);
+    for (size_t i = 0; i < I; ++i) {
+      if (rated_set.count((int)i)) continue;
+      const float* wi = &W[i * D];
+      float pred = bp[i];
+      for (size_t k = 0; k < D; ++k) pred += wi[k] * z[k];
+      cand.push_back({pred, (int)i});
+    }
+    size_t k = std::min(topk, cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + (long)k, cand.end(),
+                      [](auto& a, auto& b) { return a.first > b.first; });
+    std::vector<int> out(k);
+    for (size_t j = 0; j < k; ++j) out[j] = cand[j].second;
+    return out;
+  }
+};
+
+bool read_pairs(const char* path, std::vector<std::vector<int>>& rated,
+                size_t& num_users, size_t& num_items) {
+  std::ifstream f(path);
+  if (!f) return false;
+  size_t u, i;
+  while (f >> u >> i) {
+    if (u >= rated.size()) rated.resize(u + 1);
+    rated[u].push_back((int)i);
+    num_users = std::max(num_users, u + 1);
+    num_items = std::max(num_items, i + 1);
+  }
+  return true;
+}
+
+int run_bench(int argc, char** argv) {
+  size_t U = argc > 2 ? std::strtoul(argv[2], nullptr, 10) : 6040;
+  size_t I = argc > 3 ? std::strtoul(argv[3], nullptr, 10) : 3706;
+  size_t deg = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 160;
+  size_t D = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 50;
+  double budget_s = argc > 6 ? std::strtod(argv[6], nullptr) : 20.0;
+
   std::uniform_int_distribution<size_t> item_dist(0, I - 1);
-
-  // synthetic per-user rated sets (skewed sizes like real data)
   std::vector<std::vector<int>> rated(U);
   std::geometric_distribution<int> gdist(1.0 / (double)deg);
   for (size_t u = 0; u < U; ++u) {
-    int n = std::min<int>(1 + gdist(rng), (int)I - 1);
+    int n = std::min<int>(1 + gdist(g_rng), (int)I - 1);
     std::unordered_set<int> s;
-    while ((int)s.size() < n) s.insert((int)item_dist(rng));
+    while ((int)s.size() < n) s.insert((int)item_dist(g_rng));
     rated[u].assign(s.begin(), s.end());
   }
-
-  float init = 4.f * std::sqrt(6.f / (float)(I + D));
-  std::uniform_real_distribution<float> winit(-init, init);
-  std::vector<float> W(I * D), W_ag(I * D, 1e-4f);
-  std::vector<float> Wu(U * D), Wu_ag(U * D, 1e-4f);
-  std::vector<float> b(D, 0.f), b_ag(D, 1e-4f);
-  std::vector<float> bp(I, 0.f), bp_ag(I, 1e-4f);
-  for (auto& w : W) w = winit(rng);
-  for (auto& w : Wu) w = winit(rng);
-
-  std::vector<float> z(D), hg(D), kept;
-  std::vector<int> kept_ids;
-  kept_ids.reserve(4096);
-
+  CDAEModel m(U, I, D, 0.1f, 0.01f, 0.f, 0.5f, 5, true);
   auto t0 = std::chrono::steady_clock::now();
   size_t users_done = 0, epochs = 0;
   double elapsed = 0;
   while (elapsed < budget_s) {
     for (size_t u = 0; u < U; ++u) {
-      auto& items = rated[u];
-      std::unordered_set<int> item_set(items.begin(), items.end());
-      // corruption (cdae.hpp:361-371)
-      kept_ids.clear();
-      for (int it : items)
-        if (unif(rng) > cratio) kept_ids.push_back(it);
-      // hidden forward (cdae.hpp:373-416)
-      for (size_t k = 0; k < D; ++k) z[k] = b[k] + Wu[u * D + k];
-      for (int it : kept_ids)
-        for (size_t k = 0; k < D; ++k) z[k] += scale * W[it * D + k];
-      for (size_t k = 0; k < D; ++k) z[k] = sigmoid_clamped(z[k]);
-      std::fill(hg.begin(), hg.end(), 0.f);
-
-      auto touch_output = [&](int o, float truth) {
-        float* wo = &W[o * D];
-        float pred = bp[o];
-        for (size_t k = 0; k < D; ++k) pred += wo[k] * z[k];
-        float g = -2.f * (truth - pred);  // SQUARE loss gradient
-        // b' update (cdae.hpp:231-236)
-        float gb = g + lambda * bp[o];
-        bp_ag[o] += gb * gb;
-        bp[o] -= lr * gb / (beta + std::sqrt(bp_ag[o]));
-        // hidden grad + W row update (cdae.hpp:240-257)
-        for (size_t k = 0; k < D; ++k) hg[k] += g * wo[k];
-        float* wag = &W_ag[o * D];
-        for (size_t k = 0; k < D; ++k) {
-          float gw = g * z[k] + lambda * wo[k];
-          wag[k] += gw * gw;
-          wo[k] -= lr * gw / (beta + std::sqrt(wag[k]));
-        }
-      };
-
-      for (int o : items) touch_output(o, 1.f);
-      size_t nneg = num_neg * items.size();
-      for (size_t s = 0; s < nneg; ++s) {
-        int j;
-        do { j = (int)item_dist(rng); } while (item_set.count(j));
-        touch_output(j, 0.f);
-      }
-      // activation derivative (cdae.hpp:208-215)
-      for (size_t k = 0; k < D; ++k) hg[k] *= z[k] * (1.f - z[k]);
-      // b and Wu updates (cdae.hpp:301-331)
-      for (size_t k = 0; k < D; ++k) {
-        float gb = hg[k] + lambda * b[k];
-        b_ag[k] += gb * gb;
-        b[k] -= lr * gb / (beta + std::sqrt(b_ag[k]));
-        float gu = hg[k] + lambda * Wu[u * D + k];
-        Wu_ag[u * D + k] += gu * gu;
-        Wu[u * D + k] -= lr * gu / (beta + std::sqrt(Wu_ag[u * D + k]));
-      }
-      // input-side updates for kept rows (cdae.hpp:333-349)
-      for (int it : kept_ids) {
-        float* wi = &W[it * D];
-        float* wag = &W_ag[it * D];
-        for (size_t k = 0; k < D; ++k) {
-          float gw = hg[k] * scale + lambda * wi[k];
-          wag[k] += gw * gw;
-          wi[k] -= lr * gw / (beta + std::sqrt(wag[k]));
-        }
-      }
+      m.train_one_user(u, rated[u]);
       ++users_done;
     }
     ++epochs;
     elapsed = std::chrono::duration<double>(
                   std::chrono::steady_clock::now() - t0).count();
   }
-  double ups = users_done / elapsed;
   std::printf(
       "{\"users_per_sec\": %.2f, \"users\": %zu, \"epochs\": %zu, "
       "\"elapsed_s\": %.2f, \"U\": %zu, \"I\": %zu, \"dim\": %zu}\n",
-      ups, users_done, epochs, elapsed, U, I, D);
+      users_done / elapsed, users_done, epochs, elapsed, U, I, D);
   return 0;
+}
+
+int run_parity(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity train.txt test.txt "
+                 "[iters dim cratio num_neg lr]\n");
+    return 2;
+  }
+  size_t iters = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 50;
+  size_t D = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 50;
+  float cratio = argc > 6 ? std::strtof(argv[6], nullptr) : 0.5f;
+  int num_neg = argc > 7 ? (int)std::strtol(argv[7], nullptr, 10) : 5;
+  float lr = argc > 8 ? std::strtof(argv[8], nullptr) : 0.1f;
+
+  std::vector<std::vector<int>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_pairs(argv[2], train, U, I)) return 3;
+  if (!read_pairs(argv[3], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+
+  CDAEModel m(U, I, D, lr, 0.01f, 0.f, cratio, num_neg, true);
+  for (size_t it = 0; it < iters; ++it)
+    for (size_t u = 0; u < U; ++u)
+      if (!train[u].empty()) m.train_one_user(u, train[u]);
+
+  // TOPN evaluation: R@10 + MAP@10 over validation users
+  // (ref evaluation.hpp:183-218)
+  double recall_sum = 0, map_sum = 0;
+  size_t val_users = 0;
+  for (size_t u = 0; u < U; ++u) {
+    if (test[u].empty()) continue;
+    ++val_users;
+    std::unordered_set<int> truth(test[u].begin(), test[u].end());
+    auto rec = m.recommend(u, train[u], 10);
+    double hits = 0, ap = 0;
+    for (size_t r = 0; r < rec.size(); ++r) {
+      if (truth.count(rec[r])) {
+        hits += 1;
+        ap += hits / (double)(r + 1);
+      }
+    }
+    recall_sum += hits / (double)truth.size();
+    map_sum += ap / std::min<double>(10.0, (double)truth.size());
+  }
+  std::printf(
+      "{\"recall_at_10\": %.5f, \"map_at_10\": %.5f, \"val_users\": %zu, "
+      "\"U\": %zu, \"I\": %zu, \"iters\": %zu, \"dim\": %zu}\n",
+      recall_sum / (double)val_users, map_sum / (double)val_users, val_users,
+      U, I, iters, D);
+  return 0;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc > 1 && std::strcmp(argv[1], "parity") == 0)
+    return run_parity(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "bench") == 0)
+    return run_bench(argc, argv);
+  // legacy positional form: treat argv as bench args shifted by one
+  std::vector<char*> shifted;
+  shifted.push_back(argv[0]);
+  shifted.push_back(const_cast<char*>("bench"));
+  for (int i = 1; i < argc; ++i) shifted.push_back(argv[i]);
+  return run_bench((int)shifted.size(), shifted.data());
 }

@@ -1,0 +1,74 @@
+"""CSR streaming batcher vs full-padded equivalence + streamed CDAE."""
+
+import jax
+import numpy as np
+import pytest
+
+from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+from cdae_tpu.models.base import iter_user_batches, iter_user_batches_csr
+from cdae_tpu.models.cdae import CDAE, CDAEConfig
+from cdae_tpu.solver.solver import Solver
+
+
+@pytest.fixture(scope="module")
+def data(movielens_path):
+    return Interactions.from_text(movielens_path, movielens_line_parser)
+
+
+def test_csr_batches_match_padded(data):
+    pb = data.padded()
+    a = list(iter_user_batches(pb, 8, bucket_by_length=True))
+    b = list(iter_user_batches_csr(data.csr(), data.num_items, 8,
+                                   bucket_by_length=True))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.uids, y.uids)
+        np.testing.assert_array_equal(x.lengths, y.lengths)
+        np.testing.assert_array_equal(x.weight, y.weight)
+        L = min(x.items.shape[1], y.items.shape[1])
+        # real entries agree; both pad with num_items beyond lengths
+        np.testing.assert_array_equal(
+            np.where(x.mask[:, :L], x.items[:, :L], -1),
+            np.where(y.mask[:, :L], y.items[:, :L], -1),
+        )
+
+
+def test_streamed_cdae_matches_padded_cdae(data):
+    train, test = data.split_by_user(0.2, seed=5)
+    results = []
+    for stream in (False, True):
+        model = CDAE(CDAEConfig(num_dim=6, loss="SQUARE", batch_size=16,
+                                corruption_ratio=0.2, stream_batches=stream,
+                                use_pallas=False))
+        solver = Solver(model, max_iteration=4, eval_iterations=4,
+                        seed=3, verbose=False)
+        solver.train(train, test, ["TOPN"])
+        results.append(solver.history[-1])
+        assert (model is not None) and (
+            (solver.state.padded is None) == stream
+        )
+    # identical batches + identical rng => identical training trajectory
+    assert results[0]["train_loss"] == results[1]["train_loss"]
+    assert results[0]["R@10"] == results[1]["R@10"]
+
+
+def test_streamed_predict_and_representations(data):
+    train, _ = data.split_by_user(0.2, seed=5)
+    m_pad = CDAE(CDAEConfig(num_dim=5, batch_size=16, stream_batches=False,
+                            use_pallas=False))
+    m_str = CDAE(CDAEConfig(num_dim=5, batch_size=16, stream_batches=True,
+                            use_pallas=False))
+    s_pad = m_pad.reset(train, seed=0)
+    s_str = m_str.reset(train, seed=0)
+    users = np.array([0, 3, 7, 11])
+    items = np.array([1, 5, 2, 0])
+    np.testing.assert_allclose(
+        np.asarray(m_pad.predict(s_pad, users, items)),
+        np.asarray(m_str.predict(s_str, users, items)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        m_pad.user_representations(s_pad),
+        m_str.user_representations(s_str),
+        rtol=1e-6,
+    )
