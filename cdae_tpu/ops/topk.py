@@ -11,7 +11,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float, not a jnp array: module import must not initialize the XLA
+# backend (jax.distributed.initialize has to run first on multi-host)
+NEG_INF = float("-inf")
 
 
 def mask_rated(
