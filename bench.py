@@ -94,18 +94,19 @@ def main():
     state = model.reset(data, seed=0)
     key = jax.random.PRNGKey(0)
 
-    # warmup epoch: compiles every length bucket
+    # warmup: compiles the fused multi-epoch program
     key, sub = jax.random.split(key)
-    state = model.train_one_iteration(state, sub)
+    state = model.train_epochs(state, 1, sub)
     jax.block_until_ready(state.params["W"])
 
     t0 = time.perf_counter()
     epochs = 0
+    chunk = max(min_epochs, 10)
     while epochs < min_epochs or time.perf_counter() - t0 < budget_s:
         key, sub = jax.random.split(key)
-        state = model.train_one_iteration(state, sub)
-        epochs += 1
-        if epochs >= 50:
+        state = model.train_epochs(state, chunk, sub)
+        epochs += chunk
+        if epochs >= 200:
             break
     jax.block_until_ready(state.params["W"])
     elapsed = time.perf_counter() - t0

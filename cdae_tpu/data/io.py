@@ -91,6 +91,66 @@ def split_line(line: str, sep: str = " ") -> List[str]:
     return out
 
 
+def load_dense_vectors(
+    path: str, sep: Optional[str] = None, skip_header: bool = False
+) -> np.ndarray:
+    """VECTOR data format: one dense float vector per line, no label
+    (ref Data::load VECTOR, src/base/data-inl.hpp:22-38)."""
+    rows: List[List[float]] = []
+    with open(path, "r") as f:
+        for lineno, line in enumerate(f):
+            if skip_header and lineno == 0:
+                continue
+            line = line.strip()
+            if not line:
+                continue
+            rows.append([float(x) for x in line.split(sep)])
+    return np.asarray(rows, dtype=np.float32)
+
+
+def load_libsvm(path: str):
+    """LIBSVM format `label idx:val ...` -> GroupedInstances with one sparse
+    feature group. Capability SUPERSET: the reference's LIBSVM branch is an
+    unimplemented stub (ref src/base/data-inl.hpp:41-43 "//TODO")."""
+    from cdae_tpu.data.instances import GroupedInstances
+
+    labels: List[float] = []
+    rows: List[List[int]] = []
+    vals: List[List[float]] = []
+    max_idx = -1
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            labels.append(float(parts[0]))
+            r, v = [], []
+            for tok in parts[1:]:
+                i, _, x = tok.partition(":")
+                i = int(i)
+                r.append(i)
+                v.append(float(x) if x else 1.0)
+                max_idx = max(max_idx, i)
+            rows.append(r)
+            vals.append(v)
+    n = len(labels)
+    F = max((len(r) for r in rows), default=1)
+    idx = np.zeros((n, F), dtype=np.int32)
+    val = np.zeros((n, F), dtype=np.float32)
+    mask = np.zeros((n, F), dtype=bool)
+    for k, (r, v) in enumerate(zip(rows, vals)):
+        idx[k, : len(r)] = r
+        val[k, : len(r)] = v
+        mask[k, : len(r)] = True
+    return GroupedInstances(
+        idx=idx, vals=val, mask=mask,
+        labels=np.asarray(labels, dtype=np.float32),
+        group_of=tuple([0] * F),
+        group_dims=(max_idx + 1,),
+        total_dim=max_idx + 1,
+    )
+
+
 def write_config_file(path: str, cfg: Dict[str, str]) -> None:
     with open(path, "w") as f:
         for k, v in cfg.items():

@@ -216,6 +216,62 @@ class CDAE(RecsysModel):
         state.step += 1
         return state
 
+    # ---- fused multi-epoch training (one device program) -------------------
+    def _bucket_stacks(self, state: CDAEState):
+        """Group cached device batches by shape and stack: list of
+        (uids (k,B), items (k,B,L), mask, lengths, weight) pytrees."""
+        if "bucket_stacks" not in state.aux:
+            by_shape: Dict[Tuple[int, int], list] = {}
+            for b in self._device_batches(state):
+                by_shape.setdefault(b[1].shape, []).append(b)
+            stacks = []
+            for shape in sorted(by_shape):
+                group = by_shape[shape]
+                stacks.append(tuple(
+                    jnp.stack([g[j] for g in group]) for j in range(5)
+                ))
+            state.aux["bucket_stacks"] = stacks
+        return state.aux["bucket_stacks"]
+
+    def train_epochs(self, state: CDAEState, num_epochs: int, rng_key
+                     ) -> CDAEState:
+        """Run ``num_epochs`` full epochs as ONE jitted device program:
+        fori_loop over epochs, lax.scan over each shape bucket's stacked
+        batches. Collapses per-batch dispatch latency (significant over a
+        remote/tunneled TPU) to a single launch. Identical math to repeated
+        train_one_iteration up to RNG stream layout."""
+        stacks = self._bucket_stacks(state)
+        if getattr(self, "_epochs_fn", None) is None:
+            step = functools.partial(_train_step, cfg=self.cfg, loss=self.loss)
+            ncorr = self.cfg.num_corruptions
+
+            def run(params, stacks, key, n):
+                def epoch_body(_, carry):
+                    params, key = carry
+                    for stack in stacks:  # static structure
+                        def scan_body(c, batch):
+                            params, key = c
+                            for _ in range(ncorr):
+                                key, sub = jax.random.split(key)
+                                params = step(params, *batch, sub)
+                            return (params, key), None
+
+                        (params, key), _ = jax.lax.scan(
+                            scan_body, (params, key), stack
+                        )
+                    return (params, key)
+
+                params, key = jax.lax.fori_loop(0, n, epoch_body,
+                                                (params, key))
+                return params
+
+            self._epochs_fn = jax.jit(run, donate_argnums=(0,))
+        state.params = self._epochs_fn(
+            state.params, stacks, rng_key, jnp.int32(num_epochs)
+        )
+        state.step += num_epochs
+        return state
+
     # -------------------------------------------------------------- loss ----
     def data_loss(self, state: CDAEState, rng_key=None) -> float:
         """Reconstruction loss over positives under fresh corruption

@@ -137,3 +137,22 @@ def test_config_file_roundtrip(tmp_path):
     cfg = {"dim": "50", "loss": "SQUARE"}
     io.write_config_file(p, cfg)
     assert io.read_config_file(p) == cfg
+
+
+def test_load_dense_vectors(tmp_path):
+    from cdae_tpu.data import io as dio
+    p = tmp_path / "vec.txt"
+    p.write_text("1.0 2.0 3.0\n\n4.5 5.5 6.5\n")
+    m = dio.load_dense_vectors(str(p))
+    np.testing.assert_allclose(m, [[1, 2, 3], [4.5, 5.5, 6.5]])
+
+
+def test_load_libsvm(tmp_path):
+    from cdae_tpu.data import io as dio
+    p = tmp_path / "data.svm"
+    p.write_text("1 0:0.5 3:2.0\n-1 2:1.0\n")
+    gi = dio.load_libsvm(str(p))
+    assert gi.total_dim == 4
+    np.testing.assert_allclose(gi.labels, [1.0, -1.0])
+    assert gi.idx[0, 0] == 0 and gi.idx[0, 1] == 3
+    assert gi.mask[1].sum() == 1
