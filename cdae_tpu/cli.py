@@ -83,6 +83,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="path to write the final model checkpoint")
     p.add_argument("--init_checkpoint", default="",
                    help="restore params before training/testing")
+    p.add_argument("--trace_dir", default="",
+                   help="write a jax.profiler trace of the training loop")
     p.add_argument("--skip_popularity", action="store_true",
                    help="skip the always-run Popularity baseline "
                         "(ref yelp.cpp:110-113 always trains it first)")
@@ -214,7 +216,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         SGDSolver if isinstance(model, (FISM, LinearModel)) else Solver
     )
     solver = solver_cls(model, max_iteration=args.max_iters,
-                        eval_iterations=args.eval_iters, seed=args.seed)
+                        eval_iterations=args.eval_iters, seed=args.seed,
+                        trace_dir=args.trace_dir or None)
     if isinstance(solver, SGDSolver):
         solver.learn_rate0 = args.learn_rate
 

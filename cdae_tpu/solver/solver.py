@@ -163,8 +163,10 @@ class SGDSolver(Solver):
         adaptive: bool = False,
         seed: int = 0,
         verbose: bool = True,
+        trace_dir: Optional[str] = None,
     ):
-        super().__init__(model, max_iteration, eval_iterations, seed, verbose)
+        super().__init__(model, max_iteration, eval_iterations, seed, verbose,
+                         trace_dir)
         self.learn_rate0 = learn_rate
         self.lambda_ = lambda_
         self.adaptive = adaptive

@@ -72,3 +72,30 @@ def test_streamed_predict_and_representations(data):
         m_str.user_representations(s_str),
         rtol=1e-6,
     )
+
+
+def test_train_epochs_learns_like_iterations(data):
+    """Fused multi-epoch program must reach the same quality as the
+    per-iteration path (same model family, same budget)."""
+    from cdae_tpu.evaluation import Evaluation
+
+    train, test = data.split_by_user(0.2, seed=7)
+    ev = Evaluation.create("TOPN")
+
+    cfg = CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                     batch_size=16, use_pallas=False)
+    m1 = CDAE(cfg)
+    s1 = m1.reset(train, seed=2)
+    for i in range(12):
+        s1 = m1.train_one_iteration(s1, jax.random.fold_in(
+            jax.random.PRNGKey(2), i))
+    r1 = ev.evaluate(m1, s1, test, train)
+
+    m2 = CDAE(cfg)
+    s2 = m2.reset(train, seed=2)
+    s2 = m2.train_epochs(s2, 12, jax.random.PRNGKey(2))
+    r2 = Evaluation.create("TOPN").evaluate(m2, s2, test, train)
+    assert s2.step == 12
+    # same quality band (different RNG streams -> not bitwise)
+    assert abs(r1["R@10"] - r2["R@10"]) < 0.25
+    assert r2["R@10"] > 0.2
