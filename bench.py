@@ -86,32 +86,54 @@ def main():
     from cdae_tpu.models.cdae import CDAE, CDAEConfig
 
     data = synthetic_interactions(U, I, deg)
-    model = CDAE(CDAEConfig(
-        num_dim=dim, learn_rate=0.1, lambda_=0.01, loss="SQUARE",
-        corruption_ratio=0.5, scaled=True, num_neg=5, user_factor=True,
-        batch_size=batch,
-    ))
-    state = model.reset(data, seed=0)
-    key = jax.random.PRNGKey(0)
 
-    # warmup: compiles the fused multi-epoch program
-    key, sub = jax.random.split(key)
-    state = model.train_epochs(state, 1, sub)
-    jax.block_until_ready(state.params["W"])
+    def measure(fused: bool) -> float:
+        model = CDAE(CDAEConfig(
+            num_dim=dim, learn_rate=0.1, lambda_=0.01, loss="SQUARE",
+            corruption_ratio=0.5, scaled=True, num_neg=5, user_factor=True,
+            batch_size=batch,
+        ))
+        state = model.reset(data, seed=0)
+        key = jax.random.PRNGKey(0)
 
-    t0 = time.perf_counter()
-    epochs = 0
-    chunk = max(min_epochs, 10)
-    while epochs < min_epochs or time.perf_counter() - t0 < budget_s:
+        def run(s, n, sub):
+            if fused:
+                return model.train_epochs(s, n, sub)
+            for _ in range(n):
+                sub, k2 = jax.random.split(sub)
+                s = model.train_one_iteration(s, k2)
+            return s
+
+        # warmup: compiles the (fused multi-)epoch program
         key, sub = jax.random.split(key)
-        state = model.train_epochs(state, chunk, sub)
-        epochs += chunk
-        if epochs >= 200:
-            break
-    jax.block_until_ready(state.params["W"])
-    elapsed = time.perf_counter() - t0
+        state = run(state, 1, sub)
+        jax.block_until_ready(state.params["W"])
 
-    users_per_sec = U * epochs / elapsed
+        t0 = time.perf_counter()
+        epochs = 0
+        chunk = max(min_epochs, 10)
+        while epochs < min_epochs or time.perf_counter() - t0 < budget_s:
+            key, sub = jax.random.split(key)
+            state = run(state, chunk, sub)
+            epochs += chunk
+            if epochs >= 200:
+                break
+        jax.block_until_ready(state.params["W"])
+        return U * epochs / (time.perf_counter() - t0)
+
+    # the fused path collapses dispatch latency; fall back to per-iteration
+    # stepping if the device/tunnel rejects the large fused program
+    users_per_sec = None
+    for fused in (True, True, False):
+        try:
+            users_per_sec = measure(fused)
+            break
+        except Exception as e:  # noqa: BLE001 - report last-resort failure
+            print(f"# bench attempt (fused={fused}) failed: {e!r}",
+                  file=sys.stderr)
+    if users_per_sec is None:
+        raise SystemExit("all bench attempts failed")
+
     print(json.dumps({
         "metric": "cdae_train_users_per_sec",
         "value": round(users_per_sec, 1),
