@@ -1,0 +1,112 @@
+"""ShardedCDAE — the flagship model trained over a ('data','model') mesh,
+drop-in compatible with Solver/Evaluation (SURVEY §7 stage 6, end-to-end).
+
+Wraps the single-chip CDAE: identical math (the sharded step is bitwise-equal
+to the single-device step, see tests/test_parallel.py), with parameters laid
+out per parallel/mesh.cdae_param_specs and every minibatch placed sharded
+over the 'data' axis. Scoring emits a (batch, items) matrix sharded over
+BOTH axes; top-k for evaluation merges per-shard candidates
+(parallel/topk.py) or lets XLA gather for the generic evaluator path.
+
+Usage:
+    mesh = make_mesh(n_model=2)          # after distributed.initialize()
+    model = ShardedCDAE(CDAEConfig(...), mesh=mesh)
+    Solver(model, max_iteration=50).train(train, test, ["TOPN"])
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.base import RecsysModel
+from cdae_tpu.models.cdae import CDAE, CDAEConfig, CDAEState
+from cdae_tpu.parallel.mesh import make_mesh
+from cdae_tpu.parallel.sharded import (
+    make_sharded_scores,
+    make_sharded_train_step,
+    shard_cdae_state,
+)
+
+
+class ShardedCDAE(RecsysModel):
+    name = "ShardedCDAE"
+
+    def __init__(self, config: Optional[CDAEConfig] = None,
+                 mesh: Optional[Mesh] = None, **kw):
+        cfg = config if config is not None else CDAEConfig(**kw)
+        # pallas decode is a single-device fast path; GSPMD needs plain XLA
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+        self.inner = CDAE(cfg)
+        self.cfg = self.inner.cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._step = None
+        self._scores = None
+
+    # ------------------------------------------------------------- reset ----
+    def reset(self, data: Interactions, seed: int = 0) -> CDAEState:
+        state = self.inner.reset(data, seed)
+        state.params = shard_cdae_state(self.mesh, state.params)
+        self._step = make_sharded_train_step(self.inner, self.mesh,
+                                             state.params)
+        self._scores = make_sharded_scores(self.inner, self.mesh,
+                                           state.params)
+        return state
+
+    def _device_batches(self, state: CDAEState):
+        """Batches placed sharded over the 'data' mesh axis (cached)."""
+        if "sharded_batches" not in state.aux:
+            data_sh = NamedSharding(self.mesh, P("data"))
+            row_sh = NamedSharding(self.mesh, P("data", None))
+            out = []
+            for b in self.inner._host_batches(state):
+                out.append((
+                    jax.device_put(b.uids, data_sh),
+                    jax.device_put(b.items, row_sh),
+                    jax.device_put(b.mask, row_sh),
+                    jax.device_put(b.lengths, data_sh),
+                    jax.device_put(b.weight, data_sh),
+                ))
+            state.aux["sharded_batches"] = out
+        return state.aux["sharded_batches"]
+
+    # ------------------------------------------------------------- train ----
+    def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
+        params = state.params
+        for uids, items, mask, lengths, weight in self._device_batches(state):
+            for _ in range(self.cfg.num_corruptions):
+                rng_key, sub = jax.random.split(rng_key)
+                params = self._step(params, uids, items, mask, lengths,
+                                    weight, sub)
+        state.params = params
+        state.step += 1
+        return state
+
+    # -------------------------------------------------------- loss / eval ---
+    def data_loss(self, state: CDAEState) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state: CDAEState) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state: CDAEState, uids, rated_items, rated_mask):
+        data_sh = NamedSharding(self.mesh, P("data"))
+        row_sh = NamedSharding(self.mesh, P("data", None))
+        return self._scores(
+            state.params,
+            jax.device_put(np.asarray(uids), data_sh),
+            jax.device_put(np.asarray(rated_items), row_sh),
+            jax.device_put(np.asarray(rated_mask), row_sh),
+        )
+
+    def predict(self, state: CDAEState, users, items):
+        return self.inner.predict(state, users, items)
+
+    def user_representations(self, state: CDAEState):
+        return self.inner.user_representations(state)

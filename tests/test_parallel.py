@@ -121,3 +121,29 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.ndim == 2
     g.dryrun_multichip(8)
+
+
+def test_sharded_trainer_end_to_end(mesh):
+    """ShardedCDAE through the full Solver loop matches the single-chip CDAE
+    trajectory (same batches, same rng) on the fake 8-device mesh."""
+    from cdae_tpu.parallel.trainer import ShardedCDAE
+    from cdae_tpu.solver.solver import Solver
+
+    data = _tiny(num_users=48, num_items=64, seed=2)
+    train, test = data.split_by_user(0.25, seed=9)
+    cfg = CDAEConfig(num_dim=16, loss="SQUARE", corruption_ratio=0.3,
+                     num_neg=2, batch_size=16, use_pallas=False)
+
+    ref_solver = Solver(CDAE(cfg), max_iteration=3, eval_iterations=3,
+                        seed=4, verbose=False)
+    ref_solver.train(train, test, ["TOPN"])
+
+    sh_solver = Solver(ShardedCDAE(cfg, mesh=mesh), max_iteration=3,
+                       eval_iterations=3, seed=4, verbose=False)
+    sh_solver.train(train, test, ["TOPN"])
+
+    r, s = ref_solver.history[-1], sh_solver.history[-1]
+    assert abs(r["train_loss"] - s["train_loss"]) < 1e-2 * max(
+        abs(r["train_loss"]), 1.0
+    )
+    assert abs(r["R@10"] - s["R@10"]) < 1e-6
