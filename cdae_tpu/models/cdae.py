@@ -429,17 +429,18 @@ def _train_step(
     dz = _z_one_minus_z(z, cfg)  # (B, D)
 
     # ---- negatives: num_neg per positive, exact complement sampling ----
+    # processed in num_neg chunks of (B, L) so peak HBM temp is one
+    # (B, L, D) gather instead of (B, num_neg*L, D) — the memory wall for
+    # Netflix-scale catalogs (observed 10.5G alloc at B=2048, L=1080, D=200)
     n_neg = max(cfg.num_neg * L, 1)
     neg = sampling.sample_unrated(k_neg, items, lengths, I, n_neg)  # (B, Nn)
-    neg_mask_f = jnp.tile(mask_f, (1, cfg.num_neg)) if cfg.num_neg > 0 else (
-        jnp.zeros((B, n_neg), mask_f.dtype)
-    )
+    neg_chunks = [
+        neg[:, k * L : (k + 1) * L] for k in range(max(cfg.num_neg, 0))
+    ]
 
     # ---- output-side gradients ----
     pred_pos, dec_pos = _decode_at(params, z, items, cfg)  # (B,L), (B,L,D)
     g_pos = loss.gradient(pred_pos, 1.0) * mask_f  # ref cdae.hpp:228
-    pred_neg, dec_neg = _decode_at(params, z, neg, cfg)
-    g_neg = loss.gradient(pred_neg, 0.0) * neg_mask_f  # ref cdae.hpp:265
 
     items_c = jnp.clip(items, 0, I - 1)
     # b': per-touch grad g + λ·b' (ref cdae.hpp:231, :268)
@@ -447,33 +448,33 @@ def _train_step(
         jnp.zeros((I,), params["b_prime"].dtype)
         .at[items]
         .add((g_pos + lam * params["b_prime"][items_c]) * mask_f, mode="drop")
-        .at[neg]
-        .add((g_neg + lam * params["b_prime"][neg]) * neg_mask_f, mode="drop")
     )
-
     # hidden gradient Σ_o g_o · dec_o (ref cdae.hpp:240/248/277/285)
-    hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos) + jnp.einsum(
-        "bn,bnd->bd", g_neg, dec_neg
-    )
+    hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos)
+
+    d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
+    for nk in neg_chunks:
+        pred_nk, dec_nk = _decode_at(params, z, nk, cfg)  # (B,L), (B,L,D)
+        g_nk = loss.gradient(pred_nk, 0.0) * mask_f  # ref cdae.hpp:265
+        d_bp = d_bp.at[nk].add(
+            (g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)]) * mask_f,
+            mode="drop",
+        )
+        hidden_grad = hidden_grad + jnp.einsum("bl,bld->bd", g_nk, dec_nk)
+        d_table_neg = d_table_neg.at[nk].add(
+            (g_nk[..., None] * z[:, None, :] + lam * dec_nk)
+            * mask_f[..., None],
+            mode="drop",
+        )
     hg = hidden_grad * dz  # (B, D)
 
     # ---- decoder-table gradients ----
     if cfg.asymmetric:
         # all outputs update V with g·z + λ·V_o (ref cdae.hpp:241-246, 278-283)
-        d_V = (
-            jnp.zeros_like(params["V"])
-            .at[items]
-            .add(
-                (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
-                * mask_f[..., None],
-                mode="drop",
-            )
-            .at[neg]
-            .add(
-                (g_neg[..., None] * z[:, None, :] + lam * dec_neg)
-                * neg_mask_f[..., None],
-                mode="drop",
-            )
+        d_V = d_table_neg.at[items].add(
+            (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
+            * mask_f[..., None],
+            mode="drop",
         )
         d_W_out = jnp.zeros_like(params["W"])
     else:
@@ -481,20 +482,10 @@ def _train_step(
         # input-side update (ref cdae.hpp:249-251); dropped positives and all
         # negatives update W directly with g·z + λ·W_o (ref :252-257, :285-291)
         direct_pos = mask_f * (1.0 - keep_f)
-        d_W_out = (
-            jnp.zeros_like(params["W"])
-            .at[items]
-            .add(
-                (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
-                * direct_pos[..., None],
-                mode="drop",
-            )
-            .at[neg]
-            .add(
-                (g_neg[..., None] * z[:, None, :] + lam * dec_neg)
-                * neg_mask_f[..., None],
-                mode="drop",
-            )
+        d_W_out = d_table_neg.at[items].add(
+            (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
+            * direct_pos[..., None],
+            mode="drop",
         )
 
     # ---- input-side (encoder) gradients for kept items ----
