@@ -104,10 +104,19 @@ def main():
                 s = model.train_one_iteration(s, k2)
             return s
 
+        import jax.numpy as jnp
+
+        def checksum(s):
+            # forced device->host readback: unlike block_until_ready, this
+            # cannot be satisfied before the computation actually finishes
+            # (guards against async-dispatch timing artifacts over tunneled
+            # device transports)
+            return float(jnp.sum(s.params["W"]))
+
         # warmup: compiles the (fused multi-)epoch program
         key, sub = jax.random.split(key)
         state = run(state, 1, sub)
-        jax.block_until_ready(state.params["W"])
+        checksum(state)
 
         t0 = time.perf_counter()
         epochs = 0
@@ -118,7 +127,7 @@ def main():
             epochs += chunk
             if epochs >= 200:
                 break
-        jax.block_until_ready(state.params["W"])
+        checksum(state)
         return U * epochs / (time.perf_counter() - t0)
 
     # the fused path collapses dispatch latency; fall back to per-iteration
