@@ -113,3 +113,18 @@ def test_determinism_same_seed(splits):
     h1, h2 = r1.history[-1], r2.history[-1]
     assert h1["train_loss"] == h2["train_loss"]
     assert h1["R@10"] == h2["R@10"]
+
+
+def test_cdae_bfloat16_trains(splits):
+    """bf16 parameter dtype runs end to end (TPU MXU-friendly); f32 remains
+    the default (bf16 AdaGrad accumulators trade some accuracy)."""
+    import jax.numpy as jnp
+
+    solver = _run_cdae(
+        splits,
+        CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                   batch_size=32, dtype=jnp.bfloat16, use_pallas=False),
+        iters=5,
+    )
+    last = solver.history[-1]
+    assert np.isfinite(last["train_loss"])
