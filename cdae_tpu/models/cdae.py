@@ -75,6 +75,8 @@ class CDAEConfig:
     batch_size: int = 128  # users per synchronous minibatch
     bucket_by_length: bool = True  # sort users by |rated|, pow-2 item axis
     use_pallas: Optional[bool] = None  # pallas decode kernel; None = auto(TPU)
+    compute_dtype: Any = None  # matmul operand dtype (e.g. jnp.bfloat16 for
+    # MXU speed with f32 master params + f32 accumulation); None = dtype
     stream_batches: Optional[bool] = None  # CSR streaming (no full padded
     # matrix); None = auto when U*max_len would exceed ~2e8 elements
     cache_device_batches: bool = True  # keep all batches device-resident
@@ -134,23 +136,26 @@ class CDAE(RecsysModel):
         ks = jax.random.split(key, 4)
         s = 4.0 * np.sqrt(6.0 / float(I + D))  # ref cdae.hpp:112
         dt = cfg.dtype
+        # mixed precision: AdaGrad accumulators stay f32 (bf16 cannot hold
+        # the 1e-4 init + small squared-gradient increments faithfully)
+        at = jnp.float32
         params: Dict[str, jnp.ndarray] = {
             "W": jax.random.uniform(ks[0], (I, D), dt, -s, s),
-            "W_ag": jnp.full((I, D), ADAGRAD_INIT, dt),
+            "W_ag": jnp.full((I, D), ADAGRAD_INIT, at),
             "b": jnp.zeros((D,), dt),
-            "b_ag": jnp.full((D,), ADAGRAD_INIT, dt),
+            "b_ag": jnp.full((D,), ADAGRAD_INIT, at),
             "b_prime": jnp.zeros((I,), dt),
-            "b_prime_ag": jnp.full((I,), ADAGRAD_INIT, dt),
+            "b_prime_ag": jnp.full((I,), ADAGRAD_INIT, at),
         }
         if cfg.asymmetric:
             params["V"] = jax.random.uniform(ks[1], (I, D), dt, -s, s)
-            params["V_ag"] = jnp.full((I, D), ADAGRAD_INIT, dt)
+            params["V_ag"] = jnp.full((I, D), ADAGRAD_INIT, at)
         if cfg.user_factor:
             params["Wu"] = jax.random.uniform(ks[2], (U, D), dt, -s, s)
-            params["Wu_ag"] = jnp.full((U, D), ADAGRAD_INIT, dt)
+            params["Wu_ag"] = jnp.full((U, D), ADAGRAD_INIT, at)
         if cfg.linear_function:
             params["Uu"] = jnp.ones((U, D), dt)
-            params["Uu_ag"] = jnp.full((U, D), ADAGRAD_INIT, dt)
+            params["Uu_ag"] = jnp.full((U, D), ADAGRAD_INIT, at)
         csr = data.csr()
         stream = cfg.stream_batches
         if stream is None:
@@ -362,13 +367,21 @@ class CDAE(RecsysModel):
 
 # ===================================================================== jit ==
 
+def _cdt(cfg: CDAEConfig):
+    return cfg.compute_dtype or cfg.dtype
+
+
 def _hidden(
     params, uids, items, keep_mask, scale, cfg: CDAEConfig
 ) -> jnp.ndarray:
     """z = act(scale·Σ W_i (⊙Uu) + b (+Wu)) (ref cdae.hpp:373-416)."""
-    kf = keep_mask.astype(params["W"].dtype)
+    cdt = _cdt(cfg)
+    kf = keep_mask.astype(cdt)
     rows = params["W"][jnp.clip(items, 0, params["W"].shape[0] - 1)]
-    h = jnp.einsum("bld,bl->bd", rows, kf) * scale
+    h = jnp.einsum(
+        "bld,bl->bd", rows.astype(cdt), kf,
+        preferred_element_type=jnp.float32,
+    ).astype(params["W"].dtype) * scale
     if cfg.linear_function:
         h = params["Uu"][uids] * h
     h = h + params["b"][None, :]
@@ -388,9 +401,13 @@ def _z_one_minus_z(z: jnp.ndarray, cfg: CDAEConfig) -> jnp.ndarray:
 
 def _decode_at(params, z, item_ids, cfg: CDAEConfig):
     """ŷ_o = (V|W)_o·z + b'_o for gathered item ids (ref cdae.hpp:418-426)."""
+    cdt = _cdt(cfg)
     table = params["V"] if cfg.asymmetric else params["W"]
     rows = table[jnp.clip(item_ids, 0, table.shape[0] - 1)]
-    preds = jnp.einsum("bnd,bd->bn", rows, z) + params["b_prime"][
+    preds = jnp.einsum(
+        "bnd,bd->bn", rows.astype(cdt), z.astype(cdt),
+        preferred_element_type=jnp.float32,
+    ).astype(table.dtype) + params["b_prime"][
         jnp.clip(item_ids, 0, table.shape[0] - 1)
     ]
     return preds, rows
@@ -507,13 +524,17 @@ def _train_step(
     d_W = d_W_out + d_W_in
 
     # ---- apply AdaGrad (accumulate-then-apply per batch) ----
+    # optimizer arithmetic runs in f32 (accumulators are stored f32; bf16
+    # params are round-tripped through f32 for the update)
     def dense_step(name, grad):
         p, a = params[name], params[name + "_ag"]
+        g32 = grad.astype(jnp.float32)
         if cfg.using_adagrad:
-            a = a + grad * grad
-            p = p - lr * grad / (beta + jnp.sqrt(a))
+            a = a + g32 * g32
+            p = (p.astype(jnp.float32) - lr * g32 / (beta + jnp.sqrt(a))
+                 ).astype(p.dtype)
         else:
-            p = p - lr * grad
+            p = (p.astype(jnp.float32) - lr * g32).astype(p.dtype)
         params[name], params[name + "_ag"] = p, a
 
     params = dict(params)
@@ -526,40 +547,37 @@ def _train_step(
     d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
     dense_step("b", d_b)
 
-    # Wu rows (ref cdae.hpp:317-331); uids unique within a batch
-    if cfg.user_factor:
-        g_wu = (hg + lam * params["Wu"][uids]) * w_user[:, None]
-        p, a = params["Wu"], params["Wu_ag"]
+    def row_step(name, grad_rows):
+        """Sparse per-row AdaGrad (uids unique within a batch),
+        ref cdae.hpp:317-331; f32 optimizer math."""
+        p, a = params[name], params[name + "_ag"]
+        g32 = grad_rows.astype(jnp.float32)
+        live = w_user[:, None] > 0
         if cfg.using_adagrad:
-            a_rows = a[uids] + g_wu * g_wu
-            p_rows = p[uids] - lr * g_wu / (beta + jnp.sqrt(a_rows))
+            a_rows = a[uids] + g32 * g32
+            p_rows = (
+                p[uids].astype(jnp.float32)
+                - lr * g32 / (beta + jnp.sqrt(a_rows))
+            ).astype(p.dtype)
             a = a.at[uids].set(
-                jnp.where(w_user[:, None] > 0, a_rows, a[uids]), mode="drop"
+                jnp.where(live, a_rows, a[uids]), mode="drop"
             )
         else:
-            p_rows = p[uids] - lr * g_wu
-        p = p.at[uids].set(
-            jnp.where(w_user[:, None] > 0, p_rows, p[uids]), mode="drop"
-        )
-        params["Wu"], params["Wu_ag"] = p, a
+            p_rows = (p[uids].astype(jnp.float32) - lr * g32).astype(p.dtype)
+        p = p.at[uids].set(jnp.where(live, p_rows, p[uids]), mode="drop")
+        params[name], params[name + "_ag"] = p, a
+
+    # Wu rows (ref cdae.hpp:317-331); uids unique within a batch
+    if cfg.user_factor:
+        row_step("Wu", (hg + lam * params["Wu"][uids]) * w_user[:, None])
 
     # Uu rows (ref cdae.hpp:295-299, 340, 351-357)
     if cfg.linear_function:
         sum_kept_W = jnp.einsum("bld,bl->bd", W_in_rows, keep_f)
-        g_uu = (lam * params["Uu"][uids] + hg * sum_kept_W) * w_user[:, None]
-        p, a = params["Uu"], params["Uu_ag"]
-        if cfg.using_adagrad:
-            a_rows = a[uids] + g_uu * g_uu
-            p_rows = p[uids] - lr * g_uu / (beta + jnp.sqrt(a_rows))
-            a = a.at[uids].set(
-                jnp.where(w_user[:, None] > 0, a_rows, a[uids]), mode="drop"
-            )
-        else:
-            p_rows = p[uids] - lr * g_uu
-        p = p.at[uids].set(
-            jnp.where(w_user[:, None] > 0, p_rows, p[uids]), mode="drop"
+        row_step(
+            "Uu",
+            (lam * params["Uu"][uids] + hg * sum_kept_W) * w_user[:, None],
         )
-        params["Uu"], params["Uu_ag"] = p, a
 
     return params
 
@@ -593,4 +611,9 @@ def _batch_scores(params, uids, rated_items, rated_mask, *, cfg: CDAEConfig):
         from cdae_tpu.ops.pallas_kernels import decode_scores
 
         return decode_scores(z, table, params["b_prime"])
-    return z @ table.T + params["b_prime"][None, :]
+    cdt = _cdt(cfg)
+    scores = jnp.einsum(
+        "bd,id->bi", z.astype(cdt), table.astype(cdt),
+        preferred_element_type=jnp.float32,
+    )
+    return scores + params["b_prime"][None, :]
