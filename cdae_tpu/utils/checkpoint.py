@@ -86,3 +86,65 @@ def load_checkpoint(path: str, state: ModelState) -> ModelState:
 def checkpoint_extra(path: str) -> dict:
     with zipfile.ZipFile(path, "r") as zf:
         return json.loads(zf.read("manifest.json"))["extra"]
+
+
+# ---------------------------------------------------------------- sharded ---
+# Orbax-backed checkpoints for mesh-sharded params: every process writes its
+# own shards (no host gather), and restore places arrays back onto the mesh
+# with their original shardings — the multi-host path the npz format (which
+# gathers to process 0) cannot serve.
+
+
+def save_sharded(path: str, state: ModelState, force: bool = True) -> None:
+    """Persist a (possibly sharded) ModelState via orbax PyTree checkpoint."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"params": state.params,
+             "meta": {"step": state.step,
+                      "num_users": state.num_users,
+                      "num_items": state.num_items}},
+            force=force,
+        )
+
+
+def load_sharded(path: str, state: ModelState) -> ModelState:
+    """Restore into a reset ModelState, preserving each param's sharding.
+
+    Note: orbax requires sharded dims divisible by the mesh axis size (pad
+    user/item counts to mesh multiples for uneven tables; the npz format has
+    no such constraint single-host).
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    abstract = {
+        "params": {
+            k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)
+            for k, v in state.params.items()
+        },
+        "meta": {"step": 0, "num_users": 0, "num_items": 0},
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(
+                item=abstract,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    abstract
+                ),
+            )
+        )
+    meta = restored["meta"]
+    if (meta["num_users"] != state.num_users
+            or meta["num_items"] != state.num_items):
+        raise ValueError(
+            f"checkpoint dims ({meta['num_users']}x{meta['num_items']}) do "
+            f"not match state ({state.num_users}x{state.num_items})"
+        )
+    state.params = restored["params"]
+    state.step = int(meta["step"])
+    return state

@@ -86,3 +86,35 @@ def test_checkpoint_dim_mismatch(tmp_path, movielens_path):
                       seed=0)
     with pytest.raises(ValueError):
         ckpt.load_checkpoint(path, bad)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, movielens_path):
+    """Orbax sharded checkpoint preserves values + shardings on a mesh."""
+    import jax
+    from cdae_tpu.parallel.mesh import make_mesh
+    from cdae_tpu.parallel.sharded import shard_cdae_state
+
+    rng = np.random.default_rng(0)
+    pairs = np.unique(rng.integers(0, 32 * 64, 500))
+    train = Interactions.from_arrays(
+        (pairs // 64).astype(np.int32), (pairs % 64).astype(np.int32),
+        num_users=32, num_items=64,
+    )
+    model = CDAE(CDAEConfig(num_dim=8, batch_size=32, loss="SQUARE",
+                            use_pallas=False))
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = model.reset(train, seed=0)
+    state.params = shard_cdae_state(mesh, state.params)
+    state.step = 7
+    path = str(tmp_path / "sharded_ckpt")
+    ckpt.save_sharded(path, state)
+
+    state2 = model.reset(train, seed=99)
+    state2.params = shard_cdae_state(mesh, state2.params)
+    state2 = ckpt.load_sharded(path, state2)
+    assert state2.step == 7
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(state.params[k]), np.asarray(state2.params[k])
+        )
+        assert state2.params[k].sharding == state.params[k].sharding
