@@ -144,8 +144,16 @@ class RecListEvaluation(Evaluation):
         """Device-resident eval batches, built once per (train, validation)
         pair — the solver evaluates the same datasets every cadence, so the
         padding + H2D transfer cost is paid a single time."""
-        key = (id(train), id(validation), self.batch_size)
-        if self._cache_key == key:
+        # key by identity AND hold strong refs: without the refs a GC'd
+        # dataset's id() could be reused by a new object and serve stale
+        # batches
+        key = (train, validation, self.batch_size)
+        if (
+            self._cache_key is not None
+            and self._cache_key[0] is train
+            and self._cache_key[1] is validation
+            and self._cache_key[2] == self.batch_size
+        ):
             return self._cache
         train_pb = train.padded()
         val_pb = validation.padded()
