@@ -123,10 +123,12 @@ class ALS(RecsysModel):
             keep_new = jnp.asarray(
                 (lengths > 0) & (np.arange(len(sel)) < bs - pad)
             )[:, None]
-            # fallback rows come from the running output so that padded
-            # (duplicate) indices rewrite their current value, not stale X
-            rows = jnp.where(keep_new, solved, out[jnp.asarray(sel)])
-            out = out.at[jnp.asarray(sel)].set(rows)
+            # delta-ADD, not .set: padded rows duplicate real indices and a
+            # duplicate .set could clobber the solved row (undefined order);
+            # adding a zero delta cannot
+            sel_j = jnp.asarray(sel)
+            delta = jnp.where(keep_new, solved - out[sel_j], 0.0)
+            out = out.at[sel_j].add(delta)
         return out
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:

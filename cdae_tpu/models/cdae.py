@@ -80,6 +80,12 @@ class CDAEConfig:
     stream_batches: Optional[bool] = None  # CSR streaming (no full padded
     # matrix); None = auto when U*max_len would exceed ~2e8 elements
     cache_device_batches: bool = True  # keep all batches device-resident
+    dense_mode: Optional[bool] = None  # full-catalog dense training: every
+    # gather/scatter becomes a (B,I)x(I,D) MXU matmul (TPU scatters are
+    # serialized and dominate the sparse path). Negative sampling becomes
+    # per-item Bernoulli with expected count num_neg*|O_u| (validated for
+    # metric parity). None = auto when the (U,I) interaction matrix fits
+    # device memory (U*I <= 2e8 int8 cells).
     dtype: Any = jnp.float32
 
 
@@ -121,8 +127,15 @@ class CDAE(RecsysModel):
             functools.partial(_train_step, cfg=self.cfg, loss=self.loss),
             donate_argnums=(0,),
         )
+        self._dense_step = jax.jit(
+            functools.partial(_dense_train_step, cfg=self.cfg, loss=self.loss),
+            donate_argnums=(0,),
+        )
         self._data_loss = jax.jit(
             functools.partial(_data_loss_batch, cfg=self.cfg, loss=self.loss)
+        )
+        self._dense_loss = jax.jit(
+            functools.partial(_dense_data_loss, cfg=self.cfg, loss=self.loss)
         )
         self._scores = jax.jit(
             functools.partial(_batch_scores, cfg=self.cfg)
@@ -168,6 +181,13 @@ class CDAE(RecsysModel):
             num_items=I,
         )
         state.aux["csr"] = csr
+        dense = cfg.dense_mode
+        if dense is None:
+            dense = U * I <= 200_000_000
+        if dense:
+            R = np.zeros((U, I), dtype=np.int8)
+            R[data.users, data.items] = 1
+            state.aux["dense_R"] = jnp.asarray(R)
         return state
 
     # ------------------------------------------------------------- train ----
@@ -208,9 +228,36 @@ class CDAE(RecsysModel):
             ]
         return state.aux["device_batches"]
 
+    def _dense_batches(self, state: CDAEState):
+        """Dense-mode batches: stacked (k, B) uid + weight arrays (uniform
+        shapes — no length bucketing needed)."""
+        if "dense_batches" not in state.aux:
+            U = state.num_users
+            B = self.cfg.batch_size
+            k = max(-(-U // B), 1)
+            uids = np.arange(k * B, dtype=np.int32) % U  # wrap padding
+            weight = (np.arange(k * B) < U).astype(np.float32)
+            state.aux["dense_batches"] = (
+                jnp.asarray(uids.reshape(k, B)),
+                jnp.asarray(weight.reshape(k, B)),
+            )
+        return state.aux["dense_batches"]
+
     def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
         cfg = self.cfg
         params = state.params
+        if "dense_R" in state.aux:
+            R = state.aux["dense_R"]
+            uid_mat, w_mat = self._dense_batches(state)
+            for j in range(uid_mat.shape[0]):
+                for c in range(cfg.num_corruptions):
+                    rng_key, sub = jax.random.split(rng_key)
+                    params = self._dense_step(
+                        params, R, uid_mat[j], w_mat[j], sub
+                    )
+            state.params = params
+            state.step += 1
+            return state
         for uids, items, mask, lengths, weight in self._device_batches(state):
             for c in range(cfg.num_corruptions):
                 rng_key, sub = jax.random.split(rng_key)
@@ -245,10 +292,49 @@ class CDAE(RecsysModel):
         batches. Collapses per-batch dispatch latency (significant over a
         remote/tunneled TPU) to a single launch. Identical math to repeated
         train_one_iteration up to RNG stream layout."""
+        ncorr = self.cfg.num_corruptions
+        if "dense_R" in state.aux:
+            if getattr(self, "_dense_epochs_fn", None) is None:
+                step = functools.partial(
+                    _dense_train_step, cfg=self.cfg, loss=self.loss
+                )
+
+                def run_dense(params, R, uid_mat, w_mat, key, n):
+                    def epoch_body(_, carry):
+                        params, key = carry
+
+                        def scan_body(c, batch):
+                            params, key = c
+                            uids, w = batch
+                            for _ in range(ncorr):
+                                key, sub = jax.random.split(key)
+                                params = step(params, R, uids, w, sub)
+                            return (params, key), None
+
+                        (params, key), _ = jax.lax.scan(
+                            scan_body, (params, key), (uid_mat, w_mat)
+                        )
+                        return (params, key)
+
+                    params, key = jax.lax.fori_loop(
+                        0, n, epoch_body, (params, key)
+                    )
+                    return params
+
+                self._dense_epochs_fn = jax.jit(
+                    run_dense, donate_argnums=(0,)
+                )
+            uid_mat, w_mat = self._dense_batches(state)
+            state.params = self._dense_epochs_fn(
+                state.params, state.aux["dense_R"], uid_mat, w_mat,
+                rng_key, jnp.int32(num_epochs),
+            )
+            state.step += num_epochs
+            return state
+
         stacks = self._bucket_stacks(state)
         if getattr(self, "_epochs_fn", None) is None:
             step = functools.partial(_train_step, cfg=self.cfg, loss=self.loss)
-            ncorr = self.cfg.num_corruptions
 
             def run(params, stacks, key, n):
                 def epoch_body(_, carry):
@@ -284,6 +370,16 @@ class CDAE(RecsysModel):
         if rng_key is None:
             rng_key = jax.random.PRNGKey(state.step)
         total = 0.0
+        if "dense_R" in state.aux:
+            R = state.aux["dense_R"]
+            uid_mat, w_mat = self._dense_batches(state)
+            for j in range(uid_mat.shape[0]):
+                rng_key, sub = jax.random.split(rng_key)
+                total += float(
+                    self._dense_loss(state.params, R, uid_mat[j], w_mat[j],
+                                     sub)
+                )
+            return total
         for uids, items, mask, lengths, weight in self._device_batches(state):
             rng_key, sub = jax.random.split(rng_key)
             total += float(
@@ -548,23 +644,23 @@ def _train_step(
     dense_step("b", d_b)
 
     def row_step(name, grad_rows):
-        """Sparse per-row AdaGrad (uids unique within a batch),
-        ref cdae.hpp:317-331; f32 optimizer math."""
+        """Sparse per-row AdaGrad (ref cdae.hpp:317-331); f32 optimizer
+        math. Updates are DELTA-adds, not sets: batch padding reuses real
+        uids with weight 0, and a duplicate-index .set could clobber the
+        live row's update (scatter order is undefined); adding a zero delta
+        cannot."""
         p, a = params[name], params[name + "_ag"]
-        g32 = grad_rows.astype(jnp.float32)
+        g32 = grad_rows.astype(jnp.float32)  # already weighted by w_user
         live = w_user[:, None] > 0
         if cfg.using_adagrad:
-            a_rows = a[uids] + g32 * g32
-            p_rows = (
-                p[uids].astype(jnp.float32)
-                - lr * g32 / (beta + jnp.sqrt(a_rows))
-            ).astype(p.dtype)
-            a = a.at[uids].set(
-                jnp.where(live, a_rows, a[uids]), mode="drop"
-            )
+            gsq = jnp.where(live, g32 * g32, 0.0)
+            a_rows = a[uids] + gsq
+            a = a.at[uids].add(gsq, mode="drop")
+            step = lr * g32 / (beta + jnp.sqrt(a_rows))
         else:
-            p_rows = (p[uids].astype(jnp.float32) - lr * g32).astype(p.dtype)
-        p = p.at[uids].set(jnp.where(live, p_rows, p[uids]), mode="drop")
+            step = lr * g32
+        delta = jnp.where(live, -step, 0.0).astype(p.dtype)
+        p = p.at[uids].add(delta, mode="drop")
         params[name], params[name + "_ag"] = p, a
 
     # Wu rows (ref cdae.hpp:317-331); uids unique within a batch
@@ -580,6 +676,188 @@ def _train_step(
         )
 
     return params
+
+
+def _dense_train_step(
+    params: Dict[str, jnp.ndarray],
+    dense_R: jnp.ndarray,  # (U, I) int8 interaction matrix
+    uids: jnp.ndarray,  # (B,)
+    weight: jnp.ndarray,  # (B,) 0/1
+    key: jax.Array,
+    *,
+    cfg: CDAEConfig,
+    loss: Loss,
+) -> Dict[str, jnp.ndarray]:
+    """Full-catalog dense minibatch step — the MXU-native reformulation of
+    _train_step: every gather/scatter becomes a matmul over the (B, I)
+    interaction slab (TPU scatters are serialized and were the measured
+    bottleneck of the sparse path). Same math as the reference per-touch
+    updates (cdae.hpp:198-358); the only semantic change is negative
+    sampling: per-item Bernoulli with expected count num_neg·|O_u| instead
+    of num_neg·|O_u| uniform draws with replacement (validated for ranking
+    metric parity)."""
+    I, D = params["W"].shape
+    dt = params["W"].dtype
+    cdt = _cdt(cfg)
+    lam, lr, beta = cfg.lambda_, cfg.learn_rate, cfg.beta
+    k_corrupt, k_neg = jax.random.split(key)
+
+    w_user = weight.astype(dt)
+    rows = dense_R[uids].astype(dt) * w_user[:, None]  # (B, I) 0/1
+    lengths = jnp.sum(rows, axis=1)  # (B,)
+
+    # corruption: iid keep w.p. (1-q) (ref cdae.hpp:361-371)
+    if cfg.corruption_ratio > 0.0:
+        kept = rows * (
+            jax.random.uniform(k_corrupt, rows.shape) > cfg.corruption_ratio
+        ).astype(dt)
+    else:
+        kept = rows
+    scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
+
+    def mm(a, b):  # f32-accumulated MXU matmul in compute dtype
+        return jnp.einsum(
+            "bi,id->bd", a.astype(cdt), b.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+
+    def mm_T(a, b):  # (B,I)ᵀ @ (B,D) -> (I, D)
+        return jnp.einsum(
+            "bi,bd->id", a.astype(cdt), b.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+
+    # encode (ref cdae.hpp:373-416)
+    h = mm(kept, params["W"]) * scale
+    if cfg.linear_function:
+        h = params["Uu"][uids] * h
+    h = h + params["b"][None, :]
+    if cfg.user_factor:
+        h = h + params["Wu"][uids]
+    z = _activation(h, cfg.linear, cfg.tanh)
+    dz = _z_one_minus_z(z, cfg)
+
+    # negatives: Bernoulli complement selection, E[count] = num_neg·|O_u|
+    p_neg = jnp.clip(
+        cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
+    )
+    neg_sel = (
+        (1.0 - rows)
+        * (jax.random.uniform(k_neg, rows.shape) < p_neg[:, None]).astype(dt)
+        * w_user[:, None]
+    )
+    w_mat = rows + neg_sel  # per-(user,item) touch counts
+
+    table = params["V"] if cfg.asymmetric else params["W"]
+    pred = jnp.einsum(
+        "bd,id->bi", z.astype(cdt), table.astype(cdt),
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + params["b_prime"][None, :]
+    g = jnp.where(
+        rows > 0, loss.gradient(pred, 1.0), loss.gradient(pred, 0.0)
+    ) * w_mat
+
+    touches = jnp.sum(w_mat, axis=0)  # (I,)
+    d_bp = jnp.sum(g, axis=0) + lam * touches * params["b_prime"]
+    hidden_grad = mm(g, table)
+    hg = hidden_grad * dz
+
+    base = (params["Uu"][uids] * hg if cfg.linear_function else hg) * scale
+    if cfg.asymmetric:
+        # decoder touches update V; kept inputs update W with base + λW
+        # (ref cdae.hpp:241-246, 278-283 + input branch :333-349)
+        d_V = mm_T(g, z) + lam * touches[:, None] * params["V"]
+        d_W = mm_T(kept, base) + lam * jnp.sum(kept, 0)[:, None] * params["W"]
+    else:
+        # identical totals to the sparse step: every touch contributes g·z,
+        # kept inputs add the deferred base term, λ once per touch
+        # (ref cdae.hpp:240-257, 285-291, 333-349)
+        d_W = (
+            mm_T(g, z)
+            + mm_T(kept, base)
+            + lam * touches[:, None] * params["W"]
+        )
+
+    def dense_step(name, grad):
+        p, a = params[name], params[name + "_ag"]
+        g32 = grad.astype(jnp.float32)
+        if cfg.using_adagrad:
+            a = a + g32 * g32
+            p = (p.astype(jnp.float32) - lr * g32 / (beta + jnp.sqrt(a))
+                 ).astype(p.dtype)
+        else:
+            p = (p.astype(jnp.float32) - lr * g32).astype(p.dtype)
+        params[name], params[name + "_ag"] = p, a
+
+    params = dict(params)
+    dense_step("W", d_W)
+    dense_step("b_prime", d_bp)
+    if cfg.asymmetric:
+        dense_step("V", d_V)
+    d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
+    dense_step("b", d_b)
+
+    def row_step(name, grad_rows):
+        p, a = params[name], params[name + "_ag"]
+        g32 = grad_rows.astype(jnp.float32)
+        live = w_user[:, None] > 0
+        if cfg.using_adagrad:
+            gsq = jnp.where(live, g32 * g32, 0.0)
+            a_rows = a[uids] + gsq
+            a = a.at[uids].add(gsq, mode="drop")
+            step = lr * g32 / (beta + jnp.sqrt(a_rows))
+        else:
+            step = lr * g32
+        delta = jnp.where(live, -step, 0.0).astype(p.dtype)
+        p = p.at[uids].add(delta, mode="drop")
+        params[name], params[name + "_ag"] = p, a
+
+    if cfg.user_factor:
+        row_step("Wu", (hg + lam * params["Wu"][uids]) * w_user[:, None])
+    if cfg.linear_function:
+        sum_kept_W = mm(kept, params["W"])
+        row_step(
+            "Uu",
+            (lam * params["Uu"][uids] + hg * sum_kept_W) * w_user[:, None],
+        )
+    return params
+
+
+def _dense_data_loss(
+    params, dense_R, uids, weight, key, *, cfg: CDAEConfig, loss: Loss
+) -> jnp.ndarray:
+    """Dense-mode reconstruction loss over positives (ref cdae.hpp:78-101)."""
+    dt = params["W"].dtype
+    cdt = _cdt(cfg)
+    w_user = weight.astype(dt)
+    rows = dense_R[uids].astype(dt) * w_user[:, None]
+    total = jnp.float32(0.0)
+    for c in range(cfg.num_corruptions):
+        key, sub = jax.random.split(key)
+        if cfg.corruption_ratio > 0.0:
+            kept = rows * (
+                jax.random.uniform(sub, rows.shape) > cfg.corruption_ratio
+            ).astype(dt)
+        else:
+            kept = rows
+        scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
+        h = jnp.einsum(
+            "bi,id->bd", kept.astype(cdt), params["W"].astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt) * scale
+        if cfg.linear_function:
+            h = params["Uu"][uids] * h
+        h = h + params["b"][None, :]
+        if cfg.user_factor:
+            h = h + params["Wu"][uids]
+        z = _activation(h, cfg.linear, cfg.tanh)
+        table = params["V"] if cfg.asymmetric else params["W"]
+        pred = jnp.einsum(
+            "bd,id->bi", z.astype(cdt), table.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt) + params["b_prime"][None, :]
+        total = total + jnp.sum(loss.evaluate(pred, 1.0) * rows)
+    return total / cfg.num_corruptions
 
 
 def _data_loss_batch(

@@ -199,13 +199,15 @@ def _rebuild_x(P, all_items, all_mask_f):
 
 
 def _refresh_x_rows(params, uids, items, mask_f, weight):
-    """Exact x-cache refresh for the batch's users from updated P."""
+    """Exact x-cache refresh for the batch's users from updated P.
+    Delta-add (not .set): padding rows duplicate real uids with weight 0
+    and a duplicate .set could clobber the live row (undefined order)."""
     I = params["P"].shape[0]
     rows = params["P"][jnp.clip(items, 0, I - 1)]
     x_new = jnp.einsum("bld,bl->bd", rows, mask_f)
-    keep = weight[:, None] > 0
-    x_rows = jnp.where(keep, x_new, params["x"][uids])
-    return params["x"].at[uids].set(x_rows, mode="drop")
+    live = weight[:, None] > 0
+    delta = jnp.where(live, x_new - params["x"][uids], 0.0)
+    return params["x"].at[uids].add(delta, mode="drop")
 
 
 def _fism_adagrad(params, grads, lr, cfg):

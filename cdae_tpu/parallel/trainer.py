@@ -41,8 +41,10 @@ class ShardedCDAE(RecsysModel):
     def __init__(self, config: Optional[CDAEConfig] = None,
                  mesh: Optional[Mesh] = None, **kw):
         cfg = config if config is not None else CDAEConfig(**kw)
-        # pallas decode is a single-device fast path; GSPMD needs plain XLA
-        cfg = dataclasses.replace(cfg, use_pallas=False)
+        # pallas decode is a single-device fast path; GSPMD needs plain XLA.
+        # dense_mode stays off: the sharded step is the sparse formulation
+        # (item-sharded dense slabs are future work).
+        cfg = dataclasses.replace(cfg, use_pallas=False, dense_mode=False)
         self.inner = CDAE(cfg)
         self.cfg = self.inner.cfg
         self.mesh = mesh if mesh is not None else make_mesh()

@@ -44,19 +44,21 @@ def adagrad_row_update(
     beta: float = 0.0,
     use_adagrad: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse row-wise AdaGrad step (gather → update → scatter-back)."""
+    """Sparse row-wise AdaGrad step via delta scatter-ADD: zero-weight
+    (padding) rows contribute zero deltas, so duplicate row ids (padding
+    reusing a live uid) cannot clobber a live update the way a duplicate
+    .set could (scatter order is undefined)."""
     w = row_weight.astype(param.dtype)
     w = w.reshape((-1,) + (1,) * (grad_rows.ndim - 1))
     g = grad_rows * w
-    p_rows = param[rows]
-    a_rows = acc[rows]
     if use_adagrad:
-        a_new = a_rows + g * g
-        p_new = p_rows - learn_rate * g / (beta + jnp.sqrt(a_new))
-        acc = acc.at[rows].set(a_new, mode="drop")
+        gsq = g * g
+        a_rows = acc[rows] + gsq
+        acc = acc.at[rows].add(gsq, mode="drop")
+        step = learn_rate * g / (beta + jnp.sqrt(a_rows))
     else:
-        p_new = p_rows - learn_rate * g
-    param = param.at[rows].set(p_new, mode="drop")
+        step = learn_rate * g
+    param = param.at[rows].add(-step * (w > 0), mode="drop")
     return param, acc
 
 

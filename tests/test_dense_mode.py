@@ -1,0 +1,97 @@
+"""Dense full-catalog training mode vs the sparse (gather/scatter) path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+from cdae_tpu.evaluation import Evaluation
+from cdae_tpu.models.cdae import CDAE, CDAEConfig
+from cdae_tpu.models.base import iter_user_batches
+from cdae_tpu.solver.solver import Solver
+
+
+@pytest.fixture(scope="module")
+def data(movielens_path):
+    return Interactions.from_text(movielens_path, movielens_line_parser)
+
+
+def test_dense_step_matches_sparse_no_corruption(data):
+    """With corruption off and no negatives, the dense and sparse steps are
+    the SAME deterministic math — params must match to float tolerance."""
+    train, _ = data.split_by_user(0.2, seed=3)
+    cfg = dict(num_dim=8, loss="SQUARE", corruption_ratio=0.0, num_neg=0,
+               learn_rate=0.1, lambda_=0.01, batch_size=16,
+               use_pallas=False, bucket_by_length=False)
+    m_sparse = CDAE(CDAEConfig(dense_mode=False, **cfg))
+    m_dense = CDAE(CDAEConfig(dense_mode=True, **cfg))
+    s_sparse = m_sparse.reset(train, seed=0)
+    s_dense = m_dense.reset(train, seed=0)
+    # one batch through each path
+    b = next(iter_user_batches(s_sparse.padded, 16))
+    key = jax.random.PRNGKey(0)
+    p_sparse = m_sparse._train_step(
+        dict(s_sparse.params),
+        jnp.asarray(b.uids), jnp.asarray(b.items), jnp.asarray(b.mask),
+        jnp.asarray(b.lengths), jnp.asarray(b.weight), key,
+    )
+    p_dense = m_dense._dense_step(
+        dict(s_dense.params),
+        s_dense.aux["dense_R"],
+        jnp.asarray(b.uids), jnp.asarray(b.weight), key,
+    )
+    for k in p_sparse:
+        np.testing.assert_allclose(
+            np.asarray(p_dense[k]), np.asarray(p_sparse[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_dense_mode_learns(data):
+    train, test = data.split_by_user(0.2, seed=20141119)
+    model = CDAE(CDAEConfig(num_dim=10, loss="SQUARE", corruption_ratio=0.2,
+                            num_neg=5, batch_size=32, dense_mode=True,
+                            use_pallas=False))
+    state = model.reset(train, seed=1)
+    assert "dense_R" in state.aux
+    state = model.train_epochs(state, 15, jax.random.PRNGKey(1))
+    res = Evaluation.create("TOPN").evaluate(model, state, test, train)
+    assert res["R@10"] > 0.3
+
+
+def test_dense_mode_auto_threshold(data):
+    train, _ = data.split_by_user(0.2, seed=1)
+    m_auto = CDAE(CDAEConfig(num_dim=4, batch_size=16, use_pallas=False))
+    s = m_auto.reset(train)
+    assert "dense_R" in s.aux  # tiny data -> dense auto-on
+    m_off = CDAE(CDAEConfig(num_dim=4, batch_size=16, dense_mode=False,
+                            use_pallas=False))
+    s2 = m_off.reset(train)
+    assert "dense_R" not in s2.aux
+
+
+def test_dense_solver_end_to_end(data):
+    train, test = data.split_by_user(0.2, seed=20141119)
+    model = CDAE(CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                            num_neg=3, batch_size=32, dense_mode=True,
+                            use_pallas=False))
+    solver = Solver(model, max_iteration=8, eval_iterations=8, seed=2,
+                    verbose=False)
+    solver.train(train, test, ["TOPN"])
+    hist = solver.history
+    assert np.isfinite(hist[-1]["train_loss"])
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+
+
+def test_dense_variants(data):
+    train, test = data.split_by_user(0.2, seed=5)
+    for variant in (dict(asymmetric=True), dict(linear_function=True),
+                    dict(tanh=True), dict(user_factor=False)):
+        model = CDAE(CDAEConfig(num_dim=6, loss="SQUARE",
+                                corruption_ratio=0.3, num_neg=2,
+                                batch_size=32, dense_mode=True,
+                                use_pallas=False, **variant))
+        state = model.reset(train, seed=0)
+        state = model.train_one_iteration(state, jax.random.PRNGKey(0))
+        assert np.isfinite(model.data_loss(state))

@@ -131,8 +131,11 @@ def test_sharded_trainer_end_to_end(mesh):
 
     data = _tiny(num_users=48, num_items=64, seed=2)
     train, test = data.split_by_user(0.25, seed=9)
+    # dense_mode off: the sharded trainer runs the sparse step, so the
+    # single-chip reference must too for a trajectory match
     cfg = CDAEConfig(num_dim=16, loss="SQUARE", corruption_ratio=0.3,
-                     num_neg=2, batch_size=16, use_pallas=False)
+                     num_neg=2, batch_size=16, use_pallas=False,
+                     dense_mode=False)
 
     ref_solver = Solver(CDAE(cfg), max_iteration=3, eval_iterations=3,
                         seed=4, verbose=False)
