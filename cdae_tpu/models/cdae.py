@@ -183,7 +183,12 @@ class CDAE(RecsysModel):
         state.aux["csr"] = csr
         dense = cfg.dense_mode
         if dense is None:
-            dense = U * I <= 200_000_000
+            # dense_R is int8 (U*I bytes); per-batch temps are ~10 f32
+            # (B, I) slabs. Stay dense while both fit comfortably in HBM.
+            dense = (
+                U * I <= 1_500_000_000
+                and cfg.batch_size * I * 40 <= 4_000_000_000
+            )
         if dense:
             R = np.zeros((U, I), dtype=np.int8)
             R[data.users, data.items] = 1
