@@ -408,7 +408,17 @@ class CDAE(RecsysModel):
         """Full-catalog decode for given users (ref cdae.hpp:162-186).
 
         Uses the UNCORRUPTED input and scale=1 exactly like the reference's
-        recommend(); if corruption_ratio == 1 the input is emptied."""
+        recommend(); if corruption_ratio == 1 the input is emptied. With the
+        dense interaction matrix resident, the encode is a (B,I)x(I,D)
+        matmul instead of a padded gather-sum."""
+        if "dense_R" in state.aux:
+            if not hasattr(self, "_dense_scores_fn"):
+                self._dense_scores_fn = jax.jit(
+                    functools.partial(_dense_scores, cfg=self.cfg)
+                )
+            return self._dense_scores_fn(
+                state.params, state.aux["dense_R"], jnp.asarray(uids)
+            )
         return self._scores(
             state.params,
             jnp.asarray(uids),
@@ -880,6 +890,35 @@ def _data_loss_batch(
         preds, _ = _decode_at(params, z, items, cfg)
         total = total + jnp.sum(loss.evaluate(preds, 1.0) * mask_f)
     return total / cfg.num_corruptions
+
+
+def _dense_scores(params, dense_R, uids, *, cfg: CDAEConfig):
+    """(B, I) decoder scores with dense-matmul encode (uncorrupted input,
+    scale 1 — ref cdae.hpp:162-186)."""
+    dt = params["W"].dtype
+    cdt = _cdt(cfg)
+    rows = dense_R[uids].astype(dt)
+    if cfg.corruption_ratio == 1.0:
+        rows = jnp.zeros_like(rows)
+    h = jnp.einsum(
+        "bi,id->bd", rows.astype(cdt), params["W"].astype(cdt),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    if cfg.linear_function:
+        h = params["Uu"][uids] * h
+    h = h + params["b"][None, :]
+    if cfg.user_factor:
+        h = h + params["Wu"][uids]
+    z = _activation(h, cfg.linear, cfg.tanh)
+    table = params["V"] if cfg.asymmetric else params["W"]
+    if cfg.use_pallas:
+        from cdae_tpu.ops.pallas_kernels import decode_scores
+
+        return decode_scores(z, table, params["b_prime"])
+    return jnp.einsum(
+        "bd,id->bi", z.astype(cdt), table.astype(cdt),
+        preferred_element_type=jnp.float32,
+    ) + params["b_prime"][None, :]
 
 
 def _batch_scores(params, uids, rated_items, rated_mask, *, cfg: CDAEConfig):
