@@ -70,7 +70,7 @@ class Evaluation:
     columns: tuple
 
     @staticmethod
-    def create(kind, batch_size: int = 256) -> "Evaluation":
+    def create(kind, batch_size: int = 1024) -> "Evaluation":
         kind = EvalType.parse(kind)
         if kind == EvalType.RMSE:
             return PointwiseEvaluation(EvalType.RMSE, batch_size)
@@ -131,7 +131,9 @@ class PointwiseEvaluation(Evaluation):
 class RecListEvaluation(Evaluation):
     """TOPN / RANKING evaluation over length-10 rec lists."""
 
-    def __init__(self, kind: EvalType, batch_size: int = 256):
+    def __init__(self, kind: EvalType, batch_size: int = 1024):
+        # larger batches amortize per-dispatch latency; memory is B x I
+        # floats per score slab (drop batch_size for >100k-item catalogs)
         self.kind = kind
         self.columns = (
             M.TOPN_COLUMNS if kind == EvalType.TOPN else M.RANKING_COLUMNS
