@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cdae_tpu.models.cdae import CDAE, CDAEConfig, _batch_scores, _train_step
+from cdae_tpu.models.cdae import (
+    CDAE,
+    CDAEConfig,
+    _batch_scores,
+    _dense_train_step,
+    _train_step,
+)
 from cdae_tpu.parallel.mesh import batch_specs, cdae_param_specs, shard_params
 
 
@@ -51,6 +57,30 @@ def make_sharded_train_step(model: CDAE, mesh: Mesh, params: Dict):
             NamedSharding(mesh, bspecs["lengths"]),
             NamedSharding(mesh, bspecs["weight"]),
             NamedSharding(mesh, P()),  # rng key replicated
+        ),
+        out_shardings=param_sh,
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_dense_step(model: CDAE, mesh: Mesh, params: Dict):
+    """jit the DENSE full-catalog train step under GSPMD: the (B, I)
+    interaction/score slabs shard over ('data', 'model') — users-axis DP x
+    item-axis TP — and every matmul becomes a sharded MXU contraction with
+    psum/reduce-scatter collectives inserted by XLA. The interaction matrix
+    dense_R (U, I) lives sharded over both axes."""
+    pspecs = cdae_param_specs(params)
+    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    step = functools.partial(_dense_train_step, cfg=model.cfg,
+                             loss=model.loss)
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_sh,
+            NamedSharding(mesh, P("data", "model")),  # dense_R
+            NamedSharding(mesh, P("data")),  # uids
+            NamedSharding(mesh, P("data")),  # weight
+            NamedSharding(mesh, P()),  # rng key
         ),
         out_shardings=param_sh,
         donate_argnums=(0,),

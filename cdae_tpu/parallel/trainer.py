@@ -42,23 +42,37 @@ class ShardedCDAE(RecsysModel):
                  mesh: Optional[Mesh] = None, **kw):
         cfg = config if config is not None else CDAEConfig(**kw)
         # pallas decode is a single-device fast path; GSPMD needs plain XLA.
-        # dense_mode stays off: the sharded step is the sparse formulation
-        # (item-sharded dense slabs are future work).
-        cfg = dataclasses.replace(cfg, use_pallas=False, dense_mode=False)
+        # dense_mode (explicitly True) runs the item-sharded dense slabs;
+        # default/None keeps the sparse formulation.
+        cfg = dataclasses.replace(
+            cfg, use_pallas=False,
+            dense_mode=bool(cfg.dense_mode),
+        )
         self.inner = CDAE(cfg)
         self.cfg = self.inner.cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self._step = None
+        self._dense_step = None
         self._scores = None
 
     # ------------------------------------------------------------- reset ----
     def reset(self, data: Interactions, seed: int = 0) -> CDAEState:
+        from cdae_tpu.parallel.sharded import make_sharded_dense_step
+
         state = self.inner.reset(data, seed)
         state.params = shard_cdae_state(self.mesh, state.params)
         self._step = make_sharded_train_step(self.inner, self.mesh,
                                              state.params)
         self._scores = make_sharded_scores(self.inner, self.mesh,
                                            state.params)
+        if "dense_R" in state.aux:
+            state.aux["dense_R"] = jax.device_put(
+                state.aux["dense_R"],
+                NamedSharding(self.mesh, P("data", "model")),
+            )
+            self._dense_step = make_sharded_dense_step(
+                self.inner, self.mesh, state.params
+            )
         return state
 
     def _device_batches(self, state: CDAEState):
@@ -81,6 +95,22 @@ class ShardedCDAE(RecsysModel):
     # ------------------------------------------------------------- train ----
     def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
         params = state.params
+        if self._dense_step is not None:
+            R = state.aux["dense_R"]
+            data_sh = NamedSharding(self.mesh, P("data"))
+            uid_mat, w_mat = self.inner._dense_batches(state)
+            for j in range(uid_mat.shape[0]):
+                for _ in range(self.cfg.num_corruptions):
+                    rng_key, sub = jax.random.split(rng_key)
+                    params = self._dense_step(
+                        params, R,
+                        jax.device_put(uid_mat[j], data_sh),
+                        jax.device_put(w_mat[j], data_sh),
+                        sub,
+                    )
+            state.params = params
+            state.step += 1
+            return state
         for uids, items, mask, lengths, weight in self._device_batches(state):
             for _ in range(self.cfg.num_corruptions):
                 rng_key, sub = jax.random.split(rng_key)

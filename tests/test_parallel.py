@@ -150,3 +150,29 @@ def test_sharded_trainer_end_to_end(mesh):
         abs(r["train_loss"]), 1.0
     )
     assert abs(r["R@10"] - s["R@10"]) < 1e-6
+
+
+def test_sharded_dense_matches_single_chip(mesh):
+    """Item-sharded dense slabs must match the single-chip dense trajectory."""
+    from cdae_tpu.parallel.trainer import ShardedCDAE
+    from cdae_tpu.solver.solver import Solver
+
+    data = _tiny(num_users=48, num_items=64, seed=5)
+    train, test = data.split_by_user(0.25, seed=3)
+    cfg = CDAEConfig(num_dim=16, loss="SQUARE", corruption_ratio=0.3,
+                     num_neg=2, batch_size=16, use_pallas=False,
+                     dense_mode=True)
+
+    ref = Solver(CDAE(cfg), max_iteration=3, eval_iterations=3,
+                 seed=4, verbose=False)
+    ref.train(train, test, ["TOPN"])
+
+    sh = Solver(ShardedCDAE(cfg, mesh=mesh), max_iteration=3,
+                eval_iterations=3, seed=4, verbose=False)
+    sh.train(train, test, ["TOPN"])
+
+    r, s = ref.history[-1], sh.history[-1]
+    assert abs(r["train_loss"] - s["train_loss"]) < 1e-2 * max(
+        abs(r["train_loss"]), 1.0
+    )
+    assert abs(r["R@10"] - s["R@10"]) < 1e-6
