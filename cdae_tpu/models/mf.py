@@ -61,6 +61,10 @@ class MFConfig:
     # --- TPU build knobs ---
     batch_size: int = 1024  # instances per synchronous minibatch
     num_tries: int = 64  # WARP only: candidate negatives scanned per update
+    dense_mode: Optional[bool] = None  # PMF/IMF only: full-catalog dense
+    # slabs instead of scatter-adds (TPU scatters serialize); Bernoulli
+    # complement negatives with E[count]=num_neg per positive. None = auto
+    # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
     dtype: Any = jnp.float32
 
 
@@ -126,6 +130,9 @@ def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
 class _MFBase(RecsysModel):
     """Shared reset/scoring/loss plumbing for the MF family."""
 
+    dense_capable = False  # pointwise subclasses opt in
+    uses_ratings = False
+
     def __init__(self, config: Optional[MFConfig] = None, **kw):
         self.cfg = config if config is not None else MFConfig(**kw)
         self.loss = Loss.create(self.cfg.loss)
@@ -134,6 +141,10 @@ class _MFBase(RecsysModel):
             functools.partial(self._step, cfg=self.cfg, loss=self.loss),
             donate_argnums=(0,),
         )
+        self._jit_dense_step = jax.jit(
+            functools.partial(self._dense_step, cfg=self.cfg, loss=self.loss),
+            donate_argnums=(0,),
+        ) if self.dense_capable else None
         self._jit_scores = jax.jit(_mf_batch_scores)
         self._jit_loss = jax.jit(
             functools.partial(_mf_data_loss, loss=self.loss)
@@ -148,6 +159,21 @@ class _MFBase(RecsysModel):
         state = ModelState(params=params, padded=data.padded(),
                            num_users=U, num_items=I)
         state.aux["coo"] = (data.users, data.items, data.ratings)
+        dense = self.cfg.dense_mode
+        if dense is None:
+            dense = (
+                self.dense_capable
+                and U * I <= 1_500_000_000
+                and self.cfg.batch_size * I * 40 <= 4_000_000_000
+            )
+        if dense and self.dense_capable:
+            R = np.zeros((U, I), dtype=np.int8)
+            R[data.users, data.items] = 1
+            state.aux["dense_R"] = jnp.asarray(R)
+            if self.uses_ratings:
+                state.aux["dense_ratings"] = jnp.asarray(
+                    data.dense_matrix(binary=False)
+                )
         return state
 
     # -- epoch: one fused device program --------------------------------------
@@ -199,7 +225,33 @@ class _MFBase(RecsysModel):
             )
         return state.aux["device_data"]
 
+    def _dense_user_batches(self, state: ModelState):
+        if "dense_batches" not in state.aux:
+            U = state.num_users
+            B = min(self.cfg.batch_size, max(U, 1))
+            k = max(-(-U // B), 1)
+            uids = np.arange(k * B, dtype=np.int32) % U
+            weight = (np.arange(k * B) < U).astype(np.float32)
+            state.aux["dense_batches"] = (
+                jnp.asarray(uids.reshape(k, B)),
+                jnp.asarray(weight.reshape(k, B)),
+            )
+        return state.aux["dense_batches"]
+
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        if "dense_R" in state.aux and self._jit_dense_step is not None:
+            R = state.aux["dense_R"]
+            ratings = state.aux.get("dense_ratings", R)
+            uid_mat, w_mat = self._dense_user_batches(state)
+            params = state.params
+            for j in range(uid_mat.shape[0]):
+                rng_key, sub = jax.random.split(rng_key)
+                params = self._jit_dense_step(
+                    params, R, ratings, uid_mat[j], w_mat[j], sub
+                )
+            state.params = params
+            state.step += 1
+            return state
         n = len(state.aux["coo"][0])
         num_batches = max(-(-n // self.cfg.batch_size), 1)
         if self._jit_epoch is None or self._epoch_batches != num_batches:
@@ -257,15 +309,76 @@ def _mf_data_loss(params, u, i, r, *, loss: Loss):
     return jnp.sum(loss.evaluate(pred, r))
 
 
+def _dense_mf_grads(params, rows, labels, w_mat, uids, w_user, cfg, loss):
+    """Dense-slab version of _pointwise_grads: the (B, I) touch matrix
+    ``w_mat`` carries per-(user,item) multiplicities; every gather/scatter
+    becomes a matmul (ref update rule pmf.hpp:80-104 / imf.hpp:86-115)."""
+    lam2 = 2.0 * cfg.lambda_
+    uv_u = params["uv"][uids]  # (B, D)
+    pred = (
+        params["ub"][uids][:, None]
+        + params["ib"][None, :]
+        + uv_u @ params["iv"].T
+    )
+    g = jnp.where(rows > 0,
+                  loss.gradient(pred, labels),
+                  loss.gradient(pred, jnp.full_like(pred, loss.negative_label))
+                  ) * w_mat
+    row_touch = jnp.sum(w_mat, axis=1)  # (B,) touches per user
+    col_touch = jnp.sum(w_mat, axis=0)  # (I,)
+    d_uv_rows = g @ params["iv"] + lam2 * row_touch[:, None] * uv_u
+    d_iv = g.T @ uv_u + lam2 * col_touch[:, None] * params["iv"]
+    grads = {"iv": d_iv}
+    row_grads = {"uv": d_uv_rows}
+    if cfg.using_bias_term:
+        grads["ib"] = jnp.sum(g, 0) + lam2 * col_touch * params["ib"]
+        row_grads["ub"] = jnp.sum(g, 1) + lam2 * row_touch * params["ub"][uids]
+    return grads, row_grads
+
+
+def _dense_row_apply(params, row_grads, uids, w_user, cfg):
+    """Per-user-row AdaGrad via delta-add (duplicate-safe for padding)."""
+    out = dict(params)
+    lr, beta = cfg.learn_rate, cfg.beta
+    for name, g in row_grads.items():
+        p, a = out[name], out[name + "_ag"]
+        live = (
+            (w_user > 0)[:, None] if g.ndim == 2 else (w_user > 0)
+        )
+        gsq = jnp.where(live, g * g, 0.0)
+        if cfg.using_adagrad:
+            a_rows = a[uids] + gsq
+            a = a.at[uids].add(gsq, mode="drop")
+            step = lr * g / (beta + jnp.sqrt(a_rows))
+        else:
+            step = lr * g
+        p = p.at[uids].add(jnp.where(live, -step, 0.0), mode="drop")
+        out[name], out[name + "_ag"] = p, a
+    return out
+
+
 class PMF(_MFBase):
     """Rating MF over observed entries (ref pmf.hpp)."""
 
     name = "PMF"
+    dense_capable = True
+    uses_ratings = True
 
     @staticmethod
     def _step(params, u, i, r, w, rated, lengths, key, *, cfg, loss):
         grads = _pointwise_grads(params, u, i, r, w, cfg, loss)
         return _adagrad_apply(params, grads, cfg)
+
+    @staticmethod
+    def _dense_step(params, R, ratings, uids, weight, key, *, cfg, loss):
+        w_user = weight.astype(params["uv"].dtype)
+        rows = R[uids].astype(params["uv"].dtype) * w_user[:, None]
+        labels = ratings[uids]
+        grads, row_grads = _dense_mf_grads(
+            params, rows, labels, rows, uids, w_user, cfg, loss
+        )
+        params = _adagrad_apply(params, grads, cfg)
+        return _dense_row_apply(params, row_grads, uids, w_user, cfg)
 
 
 class IMF(_MFBase):
@@ -274,6 +387,32 @@ class IMF(_MFBase):
     (positive_label/negative_label, ref imf.hpp:79-82)."""
 
     name = "IMF"
+    dense_capable = True
+    uses_ratings = False
+
+    @staticmethod
+    def _dense_step(params, R, ratings, uids, weight, key, *, cfg, loss):
+        dt = params["uv"].dtype
+        w_user = weight.astype(dt)
+        rows = R[uids].astype(dt) * w_user[:, None]
+        I = rows.shape[1]
+        lengths = jnp.sum(rows, axis=1)
+        # Bernoulli complement negatives, E[count] = num_neg·|O_u|
+        p_neg = jnp.clip(
+            cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
+        )
+        neg_sel = (
+            (1.0 - rows)
+            * (jax.random.uniform(key, rows.shape) < p_neg[:, None]).astype(dt)
+            * w_user[:, None]
+        )
+        w_mat = rows + neg_sel
+        labels = jnp.full_like(rows, loss.positive_label)
+        grads, row_grads = _dense_mf_grads(
+            params, rows, labels, w_mat, uids, w_user, cfg, loss
+        )
+        params = _adagrad_apply(params, grads, cfg)
+        return _dense_row_apply(params, row_grads, uids, w_user, cfg)
 
     @staticmethod
     def _step(params, u, i, r, w, rated, lengths, key, *, cfg, loss):

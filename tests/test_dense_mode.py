@@ -95,3 +95,30 @@ def test_dense_variants(data):
         state = model.reset(train, seed=0)
         state = model.train_one_iteration(state, jax.random.PRNGKey(0))
         assert np.isfinite(model.data_loss(state))
+
+
+def test_dense_imf_pmf(data):
+    """Dense-mode IMF/PMF train and learn; BPR stays sparse."""
+    from cdae_tpu.models.mf import BPR, IMF, MFConfig, PMF
+    from cdae_tpu.solver.solver import Solver
+
+    train, test = data.split_by_user(0.2, seed=20141119)
+    model = IMF(MFConfig(num_dim=10, num_neg=5, batch_size=64,
+                         dense_mode=True))
+    solver = Solver(model, max_iteration=10, eval_iterations=10, seed=0,
+                    verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert "dense_R" in solver.state.aux
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+    pmf = PMF(MFConfig(num_dim=8, batch_size=64, dense_mode=True))
+    s = pmf.reset(train, seed=0)
+    assert "dense_ratings" in s.aux
+    l0 = pmf.data_loss(s)
+    for i in range(5):
+        s = pmf.train_one_iteration(s, jax.random.PRNGKey(i))
+    assert pmf.data_loss(s) < l0
+
+    bpr = BPR(MFConfig(num_dim=4, batch_size=64, loss="LOG"))
+    s2 = bpr.reset(train, seed=0)
+    assert "dense_R" not in s2.aux  # pairwise models stay sparse
