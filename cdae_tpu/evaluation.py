@@ -59,6 +59,18 @@ def _rec_metric_rows(
     return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("columns",))
+def _rec_metric_rows_from_ids(
+    rec, val_items, val_ratings, val_mask, columns: str
+):
+    """Pre-computed rec ids (B,10) -> per-user metric rows (B,8). Used when
+    the model provides its own top-k (e.g. streaming/distributed top-k that
+    never materializes the (B, num_items) score matrix)."""
+    if columns == "TOPN":
+        return M.topn_user_metrics(rec, val_items, val_mask)
+    return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask)
+
+
 def _slice_batch(pb: PaddedUserBatch, sel: np.ndarray):
     return (pb.uids[sel], pb.items[sel], pb.ratings[sel], pb.mask[sel])
 
@@ -198,13 +210,25 @@ class RecListEvaluation(Evaluation):
         if hasattr(model, "pre_recommend"):
             model.pre_recommend(state)  # ref evaluation.hpp:135 hook
         col_sum = np.zeros(len(self.columns), dtype=np.float64)
+        has_topk = hasattr(model, "batch_topk")
         for (uids, rated_items, rated_mask, val_items, val_ratings,
              val_mask) in batches:
-            scores = model.batch_scores(state, uids, rated_items, rated_mask)
-            rows = _rec_metric_rows(
-                scores, rated_items, val_items, val_ratings, val_mask,
-                self.kind.value,
+            rec = (
+                model.batch_topk(state, uids, rated_items, rated_mask, 10)
+                if has_topk else None
             )
+            if rec is not None:
+                rows = _rec_metric_rows_from_ids(
+                    rec, val_items, val_ratings, val_mask, self.kind.value
+                )
+            else:
+                scores = model.batch_scores(
+                    state, uids, rated_items, rated_mask
+                )
+                rows = _rec_metric_rows(
+                    scores, rated_items, val_items, val_ratings, val_mask,
+                    self.kind.value,
+                )
             col_sum += np.asarray(jnp.sum(rows, axis=0), dtype=np.float64)
         out = {
             c: float(v / num_val_users) for c, v in zip(self.columns, col_sum)

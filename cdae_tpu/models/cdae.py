@@ -426,6 +426,35 @@ class CDAE(RecsysModel):
             jnp.asarray(rated_mask),
         )
 
+    def batch_topk(self, state: CDAEState, uids, rated_items, rated_mask,
+                   k: int = 10):
+        """Top-k rec ids for eval. Returns None for moderate catalogs (the
+        evaluator's dense scores path is faster); for huge catalogs where a
+        (B, num_items) slab would blow HBM, computes the list via blockwise
+        streaming top-k (ops/pallas_kernels.streaming_topk_scores)."""
+        B = np.asarray(uids).shape[0]
+        if B * state.num_items <= 200_000_000:
+            return None
+        from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+
+        z = _hidden(
+            state.params,
+            jnp.asarray(uids),
+            jnp.asarray(rated_items),
+            (jnp.zeros_like(jnp.asarray(rated_mask))
+             if self.cfg.corruption_ratio == 1.0
+             else jnp.asarray(rated_mask)),
+            1.0,
+            self.cfg,
+        )
+        table = (
+            state.params["V"] if self.cfg.asymmetric else state.params["W"]
+        )
+        ids, _ = streaming_topk_scores(
+            z, table, state.params["b_prime"], jnp.asarray(rated_items), k=k
+        )
+        return ids
+
     def user_representations(self, state: CDAEState) -> np.ndarray:
         """Hidden codes for all users (ref cdae.hpp:148-159), returned in
         uid order."""

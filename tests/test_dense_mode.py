@@ -122,3 +122,30 @@ def test_dense_imf_pmf(data):
     bpr = BPR(MFConfig(num_dim=4, batch_size=64, loss="LOG"))
     s2 = bpr.reset(train, seed=0)
     assert "dense_R" not in s2.aux  # pairwise models stay sparse
+
+
+def test_batch_topk_streaming_matches_scores_path(data):
+    """CDAE.batch_topk (streaming) must equal the dense-scores top-10."""
+    train, test = data.split_by_user(0.2, seed=20141119)
+    model = CDAE(CDAEConfig(num_dim=8, loss="SQUARE", batch_size=32,
+                            use_pallas=False, dense_mode=False))
+    state = model.reset(train, seed=1)
+    pb = state.padded
+    uids = np.arange(8)
+    ri, rm = pb.items[uids], pb.mask[uids]
+    # force the streaming branch regardless of catalog size
+    from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+    from cdae_tpu.models.cdae import _hidden
+    import jax.numpy as jnp
+    from cdae_tpu.ops.topk import topk_unrated
+
+    scores = model.batch_scores(state, uids, ri, rm)
+    ids_ref, _ = topk_unrated(scores, jnp.asarray(ri), 10)
+    z = _hidden(state.params, jnp.asarray(uids), jnp.asarray(ri),
+                jnp.asarray(rm), 1.0, model.cfg)
+    ids, _ = streaming_topk_scores(z, state.params["W"],
+                                   state.params["b_prime"],
+                                   jnp.asarray(ri), k=10, block=16)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    # moderate catalog: batch_topk defers to the scores path
+    assert model.batch_topk(state, uids, ri, rm) is None
