@@ -66,7 +66,9 @@ def _solve_side(
     A = A + lam * jnp.eye(D, dtype=Y.dtype)[None]
     rhs_w = (scalar * ratings * m) if weighted else (ratings * m)
     rhs = jnp.einsum("bld,bl->bd", rows, rhs_w)
-    return jnp.linalg.solve(A, rhs[..., None])[..., 0]  # (B, D)
+    # A is SPD (Gram + λI): Cholesky is ~2x faster than LU on TPU
+    chol = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
 
 
 class ALS(RecsysModel):
@@ -96,37 +98,53 @@ class ALS(RecsysModel):
             data.items, data.users, data.ratings, I, U
         ).padded()
         state.aux["by_item"] = by_item
+        # device-resident padded sides, pre-padded to solve_batch multiples
+        # (per-sweep host->device transfers dominated the iteration time)
+        state.aux["dev_user_side"] = self._stage_side(state.padded)
+        state.aux["dev_item_side"] = self._stage_side(by_item)
         return state
 
-    def _sweep(self, X, Y, pb, update_mask_len):
+    def _stage_side(self, pb):
+        bs = self.cfg.solve_batch
+        N = pb.num_users
+        total = max(-(-N // bs), 1) * bs
+        pad = total - N
+
+        def padrows(a, fill=0):
+            if pad == 0:
+                return jnp.asarray(a)
+            shape = (pad,) + a.shape[1:]
+            return jnp.asarray(
+                np.concatenate([a, np.full(shape, fill, a.dtype)])
+            )
+
+        return (
+            padrows(pb.items, pb.num_items),
+            padrows(pb.ratings),
+            padrows(pb.mask, False),
+            padrows(pb.lengths),
+            N,
+        )
+
+    def _sweep(self, X, Y, side):
         """Solve all rows of X against fixed Y in solve_batch chunks."""
         bs = self.cfg.solve_batch
-        N = pb.num_users  # number of rows on this side
+        items_d, ratings_d, mask_d, lengths_d, N = side
         lam = jnp.asarray(self.cfg.lambda_, self.cfg.dtype)
         sc = jnp.asarray(self.cfg.scalar, self.cfg.dtype)
         out = X
-        for start in range(0, N, bs):
-            sel = np.arange(start, min(start + bs, N))
-            pad = bs - len(sel)
-            if pad > 0:
-                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+        for start in range(0, items_d.shape[0], bs):
+            sl = slice(start, start + bs)
             solved = _solve_side(
-                Y,
-                jnp.asarray(pb.items[sel]),
-                jnp.asarray(pb.ratings[sel]),
-                jnp.asarray(pb.mask[sel]),
-                lam,
-                sc,
+                Y, items_d[sl], ratings_d[sl], mask_d[sl], lam, sc,
                 self.weighted,
             )
-            lengths = pb.lengths[sel]
-            keep_new = jnp.asarray(
-                (lengths > 0) & (np.arange(len(sel)) < bs - pad)
+            row_ids = jnp.arange(start, start + bs)
+            keep_new = (
+                (lengths_d[sl] > 0) & (row_ids < N)
             )[:, None]
-            # delta-ADD, not .set: padded rows duplicate real indices and a
-            # duplicate .set could clobber the solved row (undefined order);
-            # adding a zero delta cannot
-            sel_j = jnp.asarray(sel)
+            # rows beyond N keep zero deltas; clip ids for the scatter
+            sel_j = jnp.minimum(row_ids, X.shape[0] - 1)
             delta = jnp.where(keep_new, solved - out[sel_j], 0.0)
             out = out.at[sel_j].add(delta)
         return out
@@ -135,10 +153,10 @@ class ALS(RecsysModel):
         params = dict(state.params)
         # user sweep then item sweep (ref als.hpp:100-107)
         params["p"] = self._sweep(
-            params["p"], params["q"], state.padded, state.num_users
+            params["p"], params["q"], state.aux["dev_user_side"]
         )
         params["q"] = self._sweep(
-            params["q"], params["p"], state.aux["by_item"], state.num_items
+            params["q"], params["p"], state.aux["dev_item_side"]
         )
         state.params = params
         state.step += 1
