@@ -48,7 +48,11 @@ from cdae_tpu.models.base import (
 from cdae_tpu.ops import corruption, sampling
 from cdae_tpu.ops.losses import Loss, LossType
 from cdae_tpu.ops.penalties import Penalty, PenaltyType
-from cdae_tpu.solver.optimizer import ADAGRAD_INIT
+from cdae_tpu.solver.optimizer import (
+    ADAGRAD_INIT,
+    dense_adagrad_step,
+    row_adagrad_delta,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,8 +88,9 @@ class CDAEConfig:
     # gather/scatter becomes a (B,I)x(I,D) MXU matmul (TPU scatters are
     # serialized and dominate the sparse path). Negative sampling becomes
     # per-item Bernoulli with expected count num_neg*|O_u| (validated for
-    # metric parity). None = auto when the (U,I) interaction matrix fits
-    # device memory (U*I <= 2e8 int8 cells).
+    # metric parity). None = auto when both fit HBM: dense_R int8 storage
+    # (U*I <= 1.5e9 cells) AND per-batch f32 slab temps
+    # (batch_size*I*40 bytes <= 4e9).
     dtype: Any = jnp.float32
 
 
@@ -612,7 +617,14 @@ def _train_step(
     d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
     for nk in neg_chunks:
         pred_nk, dec_nk = _decode_at(params, z, nk, cfg)  # (B,L), (B,L,D)
-        g_nk = loss.gradient(pred_nk, 0.0) * mask_f  # ref cdae.hpp:265
+        # sentinel id num_items marks an empty complement (user rated the
+        # whole catalog) — such slots must carry no gradient, not clip to
+        # a real (rated!) item
+        g_nk = (
+            loss.gradient(pred_nk, 0.0)
+            * mask_f
+            * (nk < I).astype(mask_f.dtype)
+        )  # ref cdae.hpp:265
         d_bp = d_bp.at[nk].add(
             (g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)]) * mask_f,
             mode="drop",
@@ -664,18 +676,11 @@ def _train_step(
     d_W = d_W_out + d_W_in
 
     # ---- apply AdaGrad (accumulate-then-apply per batch) ----
-    # optimizer arithmetic runs in f32 (accumulators are stored f32; bf16
-    # params are round-tripped through f32 for the update)
     def dense_step(name, grad):
-        p, a = params[name], params[name + "_ag"]
-        g32 = grad.astype(jnp.float32)
-        if cfg.using_adagrad:
-            a = a + g32 * g32
-            p = (p.astype(jnp.float32) - lr * g32 / (beta + jnp.sqrt(a))
-                 ).astype(p.dtype)
-        else:
-            p = (p.astype(jnp.float32) - lr * g32).astype(p.dtype)
-        params[name], params[name + "_ag"] = p, a
+        params[name], params[name + "_ag"] = dense_adagrad_step(
+            params[name], params[name + "_ag"], grad, lr, beta,
+            cfg.using_adagrad,
+        )
 
     params = dict(params)
     dense_step("W", d_W)
@@ -688,24 +693,12 @@ def _train_step(
     dense_step("b", d_b)
 
     def row_step(name, grad_rows):
-        """Sparse per-row AdaGrad (ref cdae.hpp:317-331); f32 optimizer
-        math. Updates are DELTA-adds, not sets: batch padding reuses real
-        uids with weight 0, and a duplicate-index .set could clobber the
-        live row's update (scatter order is undefined); adding a zero delta
-        cannot."""
-        p, a = params[name], params[name + "_ag"]
-        g32 = grad_rows.astype(jnp.float32)  # already weighted by w_user
-        live = w_user[:, None] > 0
-        if cfg.using_adagrad:
-            gsq = jnp.where(live, g32 * g32, 0.0)
-            a_rows = a[uids] + gsq
-            a = a.at[uids].add(gsq, mode="drop")
-            step = lr * g32 / (beta + jnp.sqrt(a_rows))
-        else:
-            step = lr * g32
-        delta = jnp.where(live, -step, 0.0).astype(p.dtype)
-        p = p.at[uids].add(delta, mode="drop")
-        params[name], params[name + "_ag"] = p, a
+        """Per-user-row AdaGrad (ref cdae.hpp:317-331); duplicate-safe
+        delta-add shared helper."""
+        params[name], params[name + "_ag"] = row_adagrad_delta(
+            params[name], params[name + "_ag"], uids, grad_rows,
+            w_user[:, None] > 0, lr, beta, cfg.using_adagrad,
+        )
 
     # Wu rows (ref cdae.hpp:317-331); uids unique within a batch
     if cfg.user_factor:
@@ -823,17 +816,22 @@ def _dense_train_step(
         )
 
     def dense_step(name, grad):
-        p, a = params[name], params[name + "_ag"]
-        g32 = grad.astype(jnp.float32)
-        if cfg.using_adagrad:
-            a = a + g32 * g32
-            p = (p.astype(jnp.float32) - lr * g32 / (beta + jnp.sqrt(a))
-                 ).astype(p.dtype)
-        else:
-            p = (p.astype(jnp.float32) - lr * g32).astype(p.dtype)
-        params[name], params[name + "_ag"] = p, a
+        params[name], params[name + "_ag"] = dense_adagrad_step(
+            params[name], params[name + "_ag"], grad, lr, beta,
+            cfg.using_adagrad,
+        )
+
+    def row_step(name, grad_rows):
+        params[name], params[name + "_ag"] = row_adagrad_delta(
+            params[name], params[name + "_ag"], uids, grad_rows,
+            w_user[:, None] > 0, lr, beta, cfg.using_adagrad,
+        )
 
     params = dict(params)
+    # Uu's gradient needs the PRE-update W (the sparse step gathers
+    # W_in_rows before any apply; ref cdae.hpp:340) — compute it first
+    if cfg.linear_function:
+        sum_kept_W = mm(kept, params["W"])
     dense_step("W", d_W)
     dense_step("b_prime", d_bp)
     if cfg.asymmetric:
@@ -841,25 +839,9 @@ def _dense_train_step(
     d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
     dense_step("b", d_b)
 
-    def row_step(name, grad_rows):
-        p, a = params[name], params[name + "_ag"]
-        g32 = grad_rows.astype(jnp.float32)
-        live = w_user[:, None] > 0
-        if cfg.using_adagrad:
-            gsq = jnp.where(live, g32 * g32, 0.0)
-            a_rows = a[uids] + gsq
-            a = a.at[uids].add(gsq, mode="drop")
-            step = lr * g32 / (beta + jnp.sqrt(a_rows))
-        else:
-            step = lr * g32
-        delta = jnp.where(live, -step, 0.0).astype(p.dtype)
-        p = p.at[uids].add(delta, mode="drop")
-        params[name], params[name + "_ag"] = p, a
-
     if cfg.user_factor:
         row_step("Wu", (hg + lam * params["Wu"][uids]) * w_user[:, None])
     if cfg.linear_function:
-        sum_kept_W = mm(kept, params["W"])
         row_step(
             "Uu",
             (lam * params["Uu"][uids] + hg * sum_kept_W) * w_user[:, None],

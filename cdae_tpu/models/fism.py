@@ -36,7 +36,7 @@ from cdae_tpu.models.base import ModelState, RecsysModel, iter_user_batches
 from cdae_tpu.ops import sampling
 from cdae_tpu.ops.losses import Loss
 from cdae_tpu.ops.penalties import Penalty
-from cdae_tpu.solver.optimizer import ADAGRAD_INIT
+from cdae_tpu.solver.optimizer import ADAGRAD_INIT, dense_adagrad_step
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,12 +97,12 @@ class FISM(RecsysModel):
         params: Dict[str, jnp.ndarray] = {
             "bu": jnp.zeros((U,), dt),
             "bi": jnp.zeros((I,), dt),
-            "bu_ag": jnp.full((U,), ADAGRAD_INIT, dt),
-            "bi_ag": jnp.full((I,), ADAGRAD_INIT, dt),
+            "bu_ag": jnp.full((U,), ADAGRAD_INIT, jnp.float32),
+            "bi_ag": jnp.full((I,), ADAGRAD_INIT, jnp.float32),
             "P": jax.random.uniform(k1, (I, D), dt, -0.001, 0.001),
             "Q": jax.random.uniform(k2, (I, D), dt, -0.001, 0.001),
-            "P_ag": jnp.full((I, D), ADAGRAD_INIT, dt),
-            "Q_ag": jnp.full((I, D), ADAGRAD_INIT, dt),
+            "P_ag": jnp.full((I, D), ADAGRAD_INIT, jnp.float32),
+            "Q_ag": jnp.full((I, D), ADAGRAD_INIT, jnp.float32),
         }
         pb = data.padded()
         # x cache: x_u = Σ_{j∈R_u} P_j (ref fism.hpp:71-78)
@@ -211,16 +211,14 @@ def _refresh_x_rows(params, uids, items, mask_f, weight):
 
 
 def _fism_adagrad(params, grads, lr, cfg):
-    """AdaGrad without beta (ref fism.hpp:119-121: grad /= sqrt(acc))."""
+    """AdaGrad without beta (ref fism.hpp:119-121: grad /= sqrt(acc)) —
+    the shared helper with beta=0."""
     out = dict(params)
     for name, g in grads.items():
-        p, a = params[name], params[name + "_ag"]
-        if cfg.using_adagrad:
-            a = a + g * g
-            p = p - lr * g / jnp.sqrt(a)
-        else:
-            p = p - lr * g
-        out[name], out[name + "_ag"] = p, a
+        out[name], out[name + "_ag"] = dense_adagrad_step(
+            params[name], params[name + "_ag"], g, lr, 0.0,
+            cfg.using_adagrad,
+        )
     return out
 
 
@@ -254,8 +252,10 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
     Nn = max(nn * L, 1)
     neg = sampling.sample_unrated(key, items, lengths, I, Nn)
     neg_c = jnp.clip(neg, 0, I - 1)
+    # sentinel id I = empty complement -> zero-weight those slots
     neg_mask = (
-        jnp.tile(mask_f, (1, nn)) if nn > 0 else jnp.zeros((B, Nn), dt)
+        jnp.tile(mask_f, (1, nn)) * (neg < I).astype(dt)
+        if nn > 0 else jnp.zeros((B, Nn), dt)
     )
     Q_neg = params["Q"][neg_c]  # (B, Nn, D)
     pred_neg = (
@@ -267,7 +267,6 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
 
     grads = {}
     if cfg.using_bias_term:
-        touches = jnp.sum(mask_f, 1) + jnp.sum(neg_mask, 1)  # (B,)
         grads["bu"] = jnp.zeros_like(params["bu"]).at[uids].add(
             jnp.sum(g_pos, 1) + jnp.sum(g_neg, 1)
             + lam * params["bu"][uids] * w
@@ -337,6 +336,7 @@ def _fism_pair_step(params, uids, items, mask, lengths, weight, lr, key, *,
     nn = max(cfg.num_neg, 1)
     Nn = nn * L
     neg = sampling.sample_unrated(key, items, lengths, I, Nn)
+    neg_valid = (neg.reshape(B, nn, L) < I).astype(dt)
     neg_c = jnp.clip(neg.reshape(B, nn, L), 0, I - 1)  # (B, nn, L)
     Q_neg = params["Q"][neg_c]  # (B, nn, L, D)
 
@@ -352,7 +352,7 @@ def _fism_pair_step(params, uids, items, mask, lengths, weight, lr, key, *,
         + jnp.einsum("bld,bnld->bnl", xt, Q_neg) * s_rated[:, None, None]
     )  # (B, nn, L)
     diff = pred_i[:, None, :] - pred_j
-    g = loss.gradient(diff, 1.0) * mask_f[:, None, :]  # (B, nn, L)
+    g = loss.gradient(diff, 1.0) * mask_f[:, None, :] * neg_valid  # (B,nn,L)
     g_sum = jnp.sum(g, axis=1)  # (B, L) total over neg slots per positive
 
     grads = {}

@@ -402,6 +402,8 @@ class NegMF(FactorModel):
                     I,
                     nn,
                 )  # (B, nn)
+                # sentinel id I = empty complement -> zero-weight the slot
+                neg_valid = (neg < I).astype(np.float32)
                 neg = jnp.clip(neg, 0, I - 1)
                 B = bs
                 all_u = jnp.tile(jnp.asarray(u)[:, None], (1, nn + 1))
@@ -419,7 +421,12 @@ class NegMF(FactorModel):
                     [all_u.reshape(-1), all_i.reshape(-1) + i_off], axis=1
                 )
                 vals = jnp.ones_like(idx, dtype=self.cfg.dtype)
-                ww = jnp.tile(jnp.asarray(w)[:, None], (1, nn + 1)).reshape(-1)
+                ww = (
+                    jnp.tile(jnp.asarray(w)[:, None], (1, nn + 1))
+                    * jnp.concatenate(
+                        [jnp.ones((B, 1), jnp.float32), neg_valid], axis=1
+                    )
+                ).reshape(-1)
                 params = self._jit_step(
                     params, idx, vals, labels.reshape(-1), ww, mean,
                     jnp.asarray(self._lr, self.cfg.dtype),

@@ -41,7 +41,11 @@ from cdae_tpu.models.base import ModelState, RecsysModel
 from cdae_tpu.ops import sampling
 from cdae_tpu.ops.losses import Loss
 from cdae_tpu.ops.penalties import Penalty
-from cdae_tpu.solver.optimizer import ADAGRAD_INIT
+from cdae_tpu.solver.optimizer import (
+    ADAGRAD_INIT,
+    dense_adagrad_step,
+    row_adagrad_delta,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,15 +76,16 @@ def _init_mf_params(key, U, I, D, dt, scale=0.01):
     """U(-scale, scale) factors + zero biases + 1e-4 accumulators
     (ref pmf.hpp:55-65: DMatrix::Random()*0.01 is uniform in (-0.01,0.01))."""
     k1, k2 = jax.random.split(key)
+    at = jnp.float32  # optimizer state stays f32 (see solver/optimizer.py)
     return {
         "uv": jax.random.uniform(k1, (U, D), dt, -scale, scale),
         "iv": jax.random.uniform(k2, (I, D), dt, -scale, scale),
         "ub": jnp.zeros((U,), dt),
         "ib": jnp.zeros((I,), dt),
-        "uv_ag": jnp.full((U, D), ADAGRAD_INIT, dt),
-        "iv_ag": jnp.full((I, D), ADAGRAD_INIT, dt),
-        "ub_ag": jnp.full((U,), ADAGRAD_INIT, dt),
-        "ib_ag": jnp.full((I,), ADAGRAD_INIT, dt),
+        "uv_ag": jnp.full((U, D), ADAGRAD_INIT, at),
+        "iv_ag": jnp.full((I, D), ADAGRAD_INIT, at),
+        "ub_ag": jnp.full((U,), ADAGRAD_INIT, at),
+        "ib_ag": jnp.full((I,), ADAGRAD_INIT, at),
     }
 
 
@@ -88,13 +93,10 @@ def _adagrad_apply(params, grads, cfg: MFConfig):
     """One dense accumulate-then-apply AdaGrad step per minibatch."""
     out = dict(params)
     for name, g in grads.items():
-        p, a = params[name], params[name + "_ag"]
-        if cfg.using_adagrad:
-            a = a + g * g
-            p = p - cfg.learn_rate * g / (cfg.beta + jnp.sqrt(a))
-        else:
-            p = p - cfg.learn_rate * g
-        out[name], out[name + "_ag"] = p, a
+        out[name], out[name + "_ag"] = dense_adagrad_step(
+            params[name], params[name + "_ag"], g, cfg.learn_rate, cfg.beta,
+            cfg.using_adagrad,
+        )
     return out
 
 
@@ -337,23 +339,14 @@ def _dense_mf_grads(params, rows, labels, w_mat, uids, w_user, cfg, loss):
 
 
 def _dense_row_apply(params, row_grads, uids, w_user, cfg):
-    """Per-user-row AdaGrad via delta-add (duplicate-safe for padding)."""
+    """Per-user-row AdaGrad via the shared duplicate-safe delta-add."""
     out = dict(params)
-    lr, beta = cfg.learn_rate, cfg.beta
     for name, g in row_grads.items():
-        p, a = out[name], out[name + "_ag"]
-        live = (
-            (w_user > 0)[:, None] if g.ndim == 2 else (w_user > 0)
+        live = (w_user > 0)[:, None] if g.ndim == 2 else (w_user > 0)
+        out[name], out[name + "_ag"] = row_adagrad_delta(
+            out[name], out[name + "_ag"], uids, g, live,
+            cfg.learn_rate, cfg.beta, cfg.using_adagrad,
         )
-        gsq = jnp.where(live, g * g, 0.0)
-        if cfg.using_adagrad:
-            a_rows = a[uids] + gsq
-            a = a.at[uids].add(gsq, mode="drop")
-            step = lr * g / (beta + jnp.sqrt(a_rows))
-        else:
-            step = lr * g
-        p = p.at[uids].add(jnp.where(live, -step, 0.0), mode="drop")
-        out[name], out[name + "_ag"] = p, a
     return out
 
 
@@ -430,7 +423,10 @@ class IMF(_MFBase):
                 ],
                 axis=1,
             )
-            all_w = jnp.tile(w[:, None], (1, nn + 1))
+            # sentinel id I = empty complement -> zero-weight those slots
+            all_w = jnp.tile(w[:, None], (1, nn + 1)) * (
+                all_i < I
+            ).astype(w.dtype)
             grads = _pointwise_grads(
                 params,
                 all_u.reshape(-1),
@@ -499,7 +495,10 @@ class BPR(_MFBase):
         all_u = jnp.tile(u[:, None], (1, nn)).reshape(-1)
         all_i = jnp.tile(i[:, None], (1, nn)).reshape(-1)
         all_j = jnp.clip(neg, 0, I - 1).reshape(-1)
-        all_w = jnp.tile(w[:, None], (1, nn)).reshape(-1)
+        # sentinel id I = empty complement -> zero-weight those pairs
+        all_w = (
+            jnp.tile(w[:, None], (1, nn)) * (neg < I).astype(w.dtype)
+        ).reshape(-1)
         grads = _pairwise_grads(params, all_u, all_i, all_j, all_w, cfg, loss)
         return _adagrad_apply(params, grads, cfg)
 
@@ -527,8 +526,10 @@ class WARP(_MFBase):
         nn = max(cfg.num_neg, 1)
         T = max(cfg.num_tries, 1)
         # candidates for all (instance, neg-slot) pairs: (B, nn*T)
-        cand = sampling.sample_unrated(key, rated, lengths, I, nn * T)
-        cand = jnp.clip(cand.reshape(B, nn, T), 0, I - 1)
+        cand_raw = sampling.sample_unrated(key, rated, lengths, I, nn * T)
+        cand_raw = cand_raw.reshape(B, nn, T)
+        cand_valid = cand_raw < I  # sentinel = empty complement
+        cand = jnp.clip(cand_raw, 0, I - 1)
         uv_u = params["uv"][u]  # (B,D)
         yui = params["ib"][i] + jnp.sum(uv_u * params["iv"][i], -1)  # (B,)
         # note: reference WARP compares full predictions including ub which
@@ -536,7 +537,7 @@ class WARP(_MFBase):
         yuj = params["ib"][cand] + jnp.einsum(
             "bd,bntd->bnt", uv_u, params["iv"][cand]
         )  # (B,nn,T)
-        violation = yuj > (yui[:, None, None] - 1.0)
+        violation = (yuj > (yui[:, None, None] - 1.0)) & cand_valid
         found = jnp.any(violation, axis=-1)  # (B,nn)
         first = jnp.argmax(violation, axis=-1)  # (B,nn) index of first True
         cnt = first + 1  # tries used (ref warp.hpp:70-79)

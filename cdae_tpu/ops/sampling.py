@@ -27,8 +27,10 @@ def sample_unrated(
 ) -> jnp.ndarray:
     """Uniform samples from each user's UNRATED items; (B, num_samples) int32.
 
-    Rows where lengths == num_items would have an empty complement; callers
-    must mask such rows (they also carry zero training weight).
+    Rows where lengths == num_items have an empty complement: their samples
+    come back as the SENTINEL id ``num_items`` (out of catalog). Callers
+    must zero-weight slots with id >= num_items — clipping the sentinel to
+    num_items-1 would turn a RATED item into a live negative.
     """
     B, L = sorted_items.shape
     free = jnp.maximum(num_items - lengths, 1)  # complement size per user

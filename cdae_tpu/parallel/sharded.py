@@ -115,16 +115,9 @@ def shard_cdae_state(mesh: Mesh, params: Dict) -> Dict:
 
 
 def make_batch(pb, sel: np.ndarray, batch_size: int):
-    """Host-side fixed-size batch slicing (same as iter_user_batches)."""
-    pad = batch_size - len(sel)
-    weight = np.ones(batch_size, dtype=np.float32)
-    if pad > 0:
-        weight[batch_size - pad :] = 0.0
-        sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
-    return (
-        pb.uids[sel],
-        pb.items[sel],
-        pb.mask[sel] & (weight[:, None] > 0),
-        (pb.lengths[sel] * weight.astype(np.int32)),
-        weight,
-    )
+    """Host-side fixed-size batch slicing — thin wrapper over the canonical
+    iter_user_batches so the pad/weight invariants live in ONE place."""
+    from cdae_tpu.models.base import iter_user_batches
+
+    b = next(iter_user_batches(pb, batch_size, order=np.asarray(sel)))
+    return b.uids, b.items, b.mask, b.lengths, b.weight

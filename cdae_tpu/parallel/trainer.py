@@ -65,6 +65,7 @@ class ShardedCDAE(RecsysModel):
                                              state.params)
         self._scores = make_sharded_scores(self.inner, self.mesh,
                                            state.params)
+        self._dense_step = None  # cleared: dispatch must follow THIS state
         if "dense_R" in state.aux:
             state.aux["dense_R"] = jax.device_put(
                 state.aux["dense_R"],
@@ -74,6 +75,17 @@ class ShardedCDAE(RecsysModel):
                 self.inner, self.mesh, state.params
             )
         return state
+
+    def _sharded_dense_batches(self, state: CDAEState):
+        """Dense uid/weight rows pre-placed P('data') ONCE (not per step)."""
+        if "sharded_dense_batches" not in state.aux:
+            data_sh = NamedSharding(self.mesh, P(None, "data"))
+            uid_mat, w_mat = self.inner._dense_batches(state)
+            state.aux["sharded_dense_batches"] = (
+                jax.device_put(uid_mat, data_sh),
+                jax.device_put(w_mat, data_sh),
+            )
+        return state.aux["sharded_dense_batches"]
 
     def _device_batches(self, state: CDAEState):
         """Batches placed sharded over the 'data' mesh axis (cached)."""
@@ -95,19 +107,14 @@ class ShardedCDAE(RecsysModel):
     # ------------------------------------------------------------- train ----
     def train_one_iteration(self, state: CDAEState, rng_key) -> CDAEState:
         params = state.params
-        if self._dense_step is not None:
+        if self._dense_step is not None and "dense_R" in state.aux:
             R = state.aux["dense_R"]
-            data_sh = NamedSharding(self.mesh, P("data"))
-            uid_mat, w_mat = self.inner._dense_batches(state)
+            uid_mat, w_mat = self._sharded_dense_batches(state)
             for j in range(uid_mat.shape[0]):
+                uids_j, w_j = uid_mat[j], w_mat[j]
                 for _ in range(self.cfg.num_corruptions):
                     rng_key, sub = jax.random.split(rng_key)
-                    params = self._dense_step(
-                        params, R,
-                        jax.device_put(uid_mat[j], data_sh),
-                        jax.device_put(w_mat[j], data_sh),
-                        sub,
-                    )
+                    params = self._dense_step(params, R, uids_j, w_j, sub)
             state.params = params
             state.step += 1
             return state

@@ -62,6 +62,58 @@ def adagrad_row_update(
     return param, acc
 
 
+def dense_adagrad_step(
+    param: jnp.ndarray,
+    acc: jnp.ndarray,
+    grad: jnp.ndarray,
+    learn_rate: float,
+    beta: float = 0.0,
+    use_adagrad: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate-then-apply AdaGrad with f32 optimizer arithmetic
+    (accumulators stored f32; bf16 params round-trip through f32). The
+    single shared implementation used by every model's dense updates."""
+    g32 = grad.astype(jnp.float32)
+    if use_adagrad:
+        acc = acc + g32 * g32
+        param = (
+            param.astype(jnp.float32)
+            - learn_rate * g32 / (beta + jnp.sqrt(acc))
+        ).astype(param.dtype)
+    else:
+        param = (param.astype(jnp.float32) - learn_rate * g32).astype(
+            param.dtype
+        )
+    return param, acc
+
+
+def row_adagrad_delta(
+    param: jnp.ndarray,  # (N, ...) table
+    acc: jnp.ndarray,
+    rows: jnp.ndarray,  # (B,) row ids; batch padding may DUPLICATE live ids
+    grad_rows: jnp.ndarray,  # (B, ...) per-row grads (already weighted)
+    live,  # (B, ...) bool broadcastable to grad_rows
+    learn_rate: float,
+    beta: float = 0.0,
+    use_adagrad: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse per-row AdaGrad via delta scatter-ADD, f32 optimizer math.
+    Delta-adds (never .set): zero-weight padding rows contribute zero
+    deltas, so duplicate row ids cannot clobber a live update (scatter
+    order is undefined for duplicate .set)."""
+    g32 = grad_rows.astype(jnp.float32)
+    if use_adagrad:
+        gsq = jnp.where(live, g32 * g32, 0.0)
+        a_rows = acc[rows] + gsq
+        acc = acc.at[rows].add(gsq, mode="drop")
+        step = learn_rate * g32 / (beta + jnp.sqrt(a_rows))
+    else:
+        step = learn_rate * g32
+    delta = jnp.where(live, -step, 0.0).astype(param.dtype)
+    param = param.at[rows].add(delta, mode="drop")
+    return param, acc
+
+
 def inverse_time_decay(lr0: float, reg: float, steps: jnp.ndarray) -> jnp.ndarray:
     """SGD learn-rate schedule lr0 / (1 + lr0*reg*steps)
     (ref src/solver/sgd-inl.hpp:84-91; off by default)."""
