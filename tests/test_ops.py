@@ -290,3 +290,42 @@ def test_rmse_mae():
     l = jnp.array([1.0, 1.0, 5.0])
     assert float(metrics.rmse(p, l)) == pytest.approx(math.sqrt(5 / 3))
     assert float(metrics.mae(p, l)) == pytest.approx(1.0)
+
+
+def test_sample_unrated_full_catalog_sentinel():
+    """A user who rated the WHOLE catalog gets the sentinel id num_items
+    back (empty complement) — consumers must zero-weight, never clip."""
+    import jax
+
+    I = 8
+    items = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7]], dtype=jnp.int32)
+    lengths = jnp.asarray([I], dtype=jnp.int32)
+    out = sampling.sample_unrated(jax.random.PRNGKey(0), items, lengths, I, 5)
+    assert (np.asarray(out) == I).all()
+
+
+def test_full_catalog_user_trains_safely():
+    """Models must not push gradients through sentinel negatives (the
+    clip-to-I-1 bug turned a rated item into a live negative)."""
+    import jax
+    from cdae_tpu.data.dataset import Interactions
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+    from cdae_tpu.models.mf import BPR, IMF, MFConfig
+
+    # user 0 rated EVERY item; user 1 rated one
+    users = np.array([0] * 6 + [1], dtype=np.int32)
+    items = np.array([0, 1, 2, 3, 4, 5, 2], dtype=np.int32)
+    data = Interactions.from_arrays(users, items, num_users=2, num_items=6)
+
+    m = CDAE(CDAEConfig(num_dim=4, loss="SQUARE", num_neg=3, batch_size=2,
+                        use_pallas=False, dense_mode=False))
+    s = m.reset(data, seed=0)
+    s = m.train_one_iteration(s, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(s.params["W"])).all()
+
+    for cls in (IMF, BPR):
+        mm = cls(MFConfig(num_dim=4, num_neg=3, batch_size=4,
+                          dense_mode=False))
+        st = mm.reset(data, seed=0)
+        st = mm.train_one_iteration(st, jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(st.params["iv"])).all()
