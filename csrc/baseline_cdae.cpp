@@ -153,6 +153,90 @@ struct CDAEModel {
   }
 };
 
+// ---- IMF / BPR reference semantics (ref imf.hpp:57-119, bpr.hpp:56-106) ---
+struct MFModel {
+  size_t U, I, D;
+  float lr, beta, lambda2;  // lambda2 = 2*lambda per touch
+  int num_neg;
+  std::vector<float> uv, iv, uv_ag, iv_ag, ub, ib, ub_ag, ib_ag;
+
+  MFModel(size_t U_, size_t I_, size_t D_, float lr_, float beta_,
+          float lambda_, int num_neg_)
+      : U(U_), I(I_), D(D_), lr(lr_), beta(beta_), lambda2(2.f * lambda_),
+        num_neg(num_neg_), uv(U * D), iv(I * D), uv_ag(U * D, 1e-4f),
+        iv_ag(I * D, 1e-4f), ub(U, 0.f), ib(I, 0.f), ub_ag(U, 1e-4f),
+        ib_ag(I, 1e-4f) {
+    std::uniform_real_distribution<float> init(-0.01f, 0.01f);
+    for (auto& w : uv) w = init(g_rng);
+    for (auto& w : iv) w = init(g_rng);
+  }
+
+  float predict(size_t u, size_t i) const {
+    float s = ub[u] + ib[i];
+    for (size_t k = 0; k < D; ++k) s += uv[u * D + k] * iv[i * D + k];
+    return s;
+  }
+
+  // pointwise square-loss step (ref imf.hpp:86-115)
+  void imf_step(size_t u, size_t i, float truth) {
+    float g = -2.f * (truth - predict(u, i));
+    float gu = g + lambda2 * ub[u], gi = g + lambda2 * ib[i];
+    ub_ag[u] += gu * gu;
+    ib_ag[i] += gi * gi;
+    ub[u] -= lr * gu / (beta + std::sqrt(ub_ag[u]));
+    ib[i] -= lr * gi / (beta + std::sqrt(ib_ag[i]));
+    for (size_t k = 0; k < D; ++k) {
+      float gv = g * iv[i * D + k] + lambda2 * uv[u * D + k];
+      float gw = g * uv[u * D + k] + lambda2 * iv[i * D + k];
+      uv_ag[u * D + k] += gv * gv;
+      iv_ag[i * D + k] += gw * gw;
+      uv[u * D + k] -= lr * gv / (beta + std::sqrt(uv_ag[u * D + k]));
+      iv[i * D + k] -= lr * gw / (beta + std::sqrt(iv_ag[i * D + k]));
+    }
+  }
+
+  // pairwise LOG-loss step (ref bpr.hpp:72-106)
+  void bpr_step(size_t u, size_t i, size_t j) {
+    float z = predict(u, i) - predict(u, j);
+    // LOG loss grad at truth 1: -1/(1+exp(z)) with ±18 clamps
+    float g;
+    if (z > 18.f) g = -std::exp(-z);
+    else if (z < -18.f) g = -1.f;
+    else g = -1.f / (1.f + std::exp(z));
+    float gi = g + lambda2 * ib[i], gj = -g + lambda2 * ib[j];
+    ib_ag[i] += gi * gi;
+    ib_ag[j] += gj * gj;
+    ib[i] -= lr * gi / (beta + std::sqrt(ib_ag[i]));
+    ib[j] -= lr * gj / (beta + std::sqrt(ib_ag[j]));
+    for (size_t k = 0; k < D; ++k) {
+      float gv = g * (iv[i * D + k] - iv[j * D + k]) + lambda2 * uv[u * D + k];
+      float gwi = g * uv[u * D + k] + lambda2 * iv[i * D + k];
+      float gwj = -g * uv[u * D + k] + lambda2 * iv[j * D + k];
+      uv_ag[u * D + k] += gv * gv;
+      iv_ag[i * D + k] += gwi * gwi;
+      iv_ag[j * D + k] += gwj * gwj;
+      uv[u * D + k] -= lr * gv / (beta + std::sqrt(uv_ag[u * D + k]));
+      iv[i * D + k] -= lr * gwi / (beta + std::sqrt(iv_ag[i * D + k]));
+      iv[j * D + k] -= lr * gwj / (beta + std::sqrt(iv_ag[j * D + k]));
+    }
+  }
+
+  std::vector<int> recommend(size_t u, const std::vector<int>& rated,
+                             size_t topk) const {
+    std::unordered_set<int> rated_set(rated.begin(), rated.end());
+    std::vector<std::pair<float, int>> cand;
+    cand.reserve(I);
+    for (size_t i = 0; i < I; ++i)
+      if (!rated_set.count((int)i)) cand.push_back({predict(u, i), (int)i});
+    size_t k = std::min(topk, cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + (long)k, cand.end(),
+                      [](auto& a, auto& b) { return a.first > b.first; });
+    std::vector<int> out(k);
+    for (size_t j = 0; j < k; ++j) out[j] = cand[j].second;
+    return out;
+  }
+};
+
 bool read_pairs(const char* path, std::vector<std::vector<int>>& rated,
                 size_t& num_users, size_t& num_items) {
   std::ifstream f(path);
@@ -255,11 +339,83 @@ int run_parity(int argc, char** argv) {
   return 0;
 }
 
+// parity_mf <MF|BPR> train.txt test.txt [iters dim num_neg lr]
+int run_parity_mf(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_mf <MF|BPR> train.txt test.txt "
+                 "[iters dim num_neg lr]\n");
+    return 2;
+  }
+  bool pairwise = std::strcmp(argv[2], "BPR") == 0;
+  size_t iters = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 30;
+  size_t D = argc > 6 ? std::strtoul(argv[6], nullptr, 10) : 10;
+  int num_neg = argc > 7 ? (int)std::strtol(argv[7], nullptr, 10) : 5;
+  float lr = argc > 8 ? std::strtof(argv[8], nullptr) : 0.1f;
+
+  std::vector<std::vector<int>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_pairs(argv[3], train, U, I)) return 3;
+  if (!read_pairs(argv[4], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+
+  MFModel m(U, I, D, lr, 1.f, 0.01f, num_neg);
+  std::uniform_int_distribution<size_t> item_dist(0, I - 1);
+  for (size_t it = 0; it < iters; ++it) {
+    for (size_t u = 0; u < U; ++u) {
+      std::unordered_set<int> item_set(train[u].begin(), train[u].end());
+      for (int i : train[u]) {
+        if (pairwise) {
+          for (int s = 0; s < num_neg; ++s) {
+            int j;
+            do { j = (int)item_dist(g_rng); } while (item_set.count(j));
+            m.bpr_step(u, (size_t)i, (size_t)j);
+          }
+        } else {
+          m.imf_step(u, (size_t)i, 1.f);  // SQUARE positive label
+          for (int s = 0; s < num_neg; ++s) {
+            int j;
+            do { j = (int)item_dist(g_rng); } while (item_set.count(j));
+            m.imf_step(u, (size_t)j, 0.f);
+          }
+        }
+      }
+    }
+  }
+
+  double recall_sum = 0, map_sum = 0;
+  size_t val_users = 0;
+  for (size_t u = 0; u < U; ++u) {
+    if (test[u].empty()) continue;
+    ++val_users;
+    std::unordered_set<int> truth(test[u].begin(), test[u].end());
+    auto rec = m.recommend(u, train[u], 10);
+    double hits = 0, ap = 0;
+    for (size_t r = 0; r < rec.size(); ++r) {
+      if (truth.count(rec[r])) {
+        hits += 1;
+        ap += hits / (double)(r + 1);
+      }
+    }
+    recall_sum += hits / (double)truth.size();
+    map_sum += ap / std::min<double>(10.0, (double)truth.size());
+  }
+  std::printf(
+      "{\"recall_at_10\": %.5f, \"map_at_10\": %.5f, \"val_users\": %zu, "
+      "\"method\": \"%s\", \"iters\": %zu, \"dim\": %zu}\n",
+      recall_sum / (double)val_users, map_sum / (double)val_users, val_users,
+      pairwise ? "BPR" : "MF", iters, D);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc > 1 && std::strcmp(argv[1], "parity") == 0)
     return run_parity(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_mf") == 0)
+    return run_parity_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)
     return run_bench(argc, argv);
   // legacy positional form: treat argv as bench args shifted by one
