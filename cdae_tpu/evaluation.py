@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cdae_tpu.data.dataset import Interactions, PaddedUserBatch
+from cdae_tpu.models.base import rows_from_csr
 from cdae_tpu.ops import metrics as M
 from cdae_tpu.ops.topk import topk_unrated
 from cdae_tpu.utils.timer import Timer
@@ -169,9 +170,13 @@ class RecListEvaluation(Evaluation):
             and self._cache_key[2] == self.batch_size
         ):
             return self._cache
-        train_pb = train.padded()
-        val_pb = validation.padded()
-        val_users = np.nonzero(val_pb.lengths > 0)[0].astype(np.int32)
+        # CSR-backed batches: only validation users' rows are padded —
+        # O(selected nnz) memory rather than two full (U, max_len) matrices
+        train_csr = train.csr()
+        val_csr = validation.csr()
+        val_users = np.nonzero(np.diff(val_csr.indptr) > 0)[0].astype(
+            np.int32
+        )
         batches = []
         bs = self.batch_size
         for start in range(0, len(val_users), bs):
@@ -181,11 +186,15 @@ class RecListEvaluation(Evaluation):
             if pad > 0:
                 weight[bs - pad :] = 0.0
                 sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
-            uids, rated_items, _, rated_mask = _slice_batch(train_pb, sel)
-            _, val_items, val_ratings, val_mask = _slice_batch(val_pb, sel)
+            rated_items, _, rated_mask, _ = rows_from_csr(
+                train_csr, sel, train.num_items
+            )
+            val_items, val_ratings, val_mask, _ = rows_from_csr(
+                val_csr, sel, validation.num_items
+            )
             val_mask = val_mask & (weight[:, None] > 0)
             batches.append((
-                uids,
+                sel,
                 jnp.asarray(rated_items),
                 jnp.asarray(rated_mask),
                 jnp.asarray(val_items),
