@@ -355,6 +355,24 @@ class Interactions:
         )
 
 
+def rows_from_csr(csr, users: np.ndarray, num_items: int):
+    """Padded (len(users), L) item/rating/mask rows for SPECIFIC users,
+    straight from CSR — O(selected nnz) instead of O(U·max_len) for a full
+    padded matrix. L = max row length among the selected users (min 1)."""
+    lengths = np.diff(csr.indptr)[users].astype(np.int32)
+    L = max(int(lengths.max()) if len(lengths) else 1, 1)
+    n = len(users)
+    items = np.full((n, L), num_items, dtype=np.int32)
+    ratings = np.zeros((n, L), dtype=np.float32)
+    for row, u in enumerate(users):
+        s, e = csr.indptr[u], csr.indptr[u + 1]
+        items[row, : e - s] = csr.indices[s:e]
+        ratings[row, : e - s] = csr.values[s:e]
+    mask = np.arange(L)[None, :] < lengths[:, None]
+    return items, ratings, mask, lengths
+
+
+
 def _build_csr(
     keys: np.ndarray, vals: np.ndarray, ratings: np.ndarray, num_keys: int
 ) -> CSR:

@@ -29,8 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cdae_tpu.data.dataset import Interactions, PaddedUserBatch
-from cdae_tpu.models.base import rows_from_csr
+from cdae_tpu.data.dataset import Interactions, rows_from_csr
 from cdae_tpu.ops import metrics as M
 from cdae_tpu.ops.topk import topk_unrated
 from cdae_tpu.utils.timer import Timer
@@ -70,10 +69,6 @@ def _rec_metric_rows_from_ids(
     if columns == "TOPN":
         return M.topn_user_metrics(rec, val_items, val_mask)
     return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask)
-
-
-def _slice_batch(pb: PaddedUserBatch, sel: np.ndarray):
-    return (pb.uids[sel], pb.items[sel], pb.ratings[sel], pb.mask[sel])
 
 
 class Evaluation:
