@@ -169,10 +169,15 @@ class _MFBase(RecsysModel):
                 and self.cfg.batch_size * I * 40 <= 4_000_000_000
             )
         if dense and self.dense_capable:
-            R = np.zeros((U, I), dtype=np.int8)
-            R[data.users, data.items] = 1
-            state.aux["dense_R"] = jnp.asarray(R)
+            # on-device build from COO (ships nnz*8 bytes, not U*I)
+            state.aux["dense_R"] = (
+                jnp.zeros((U, I), jnp.int8)
+                .at[jnp.asarray(data.users), jnp.asarray(data.items)]
+                .set(1)
+            )
             if self.uses_ratings:
+                # host build keeps the reference's first-occurrence-wins
+                # duplicate semantics (device scatter order is undefined)
                 state.aux["dense_ratings"] = jnp.asarray(
                     data.dense_matrix(binary=False)
                 )
