@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Scale smoke toward BASELINE.json config 5 (10M users / 1M items).
+
+Single-chip slice of the sharded design: CSR streaming batches (no padded
+matrix), sparse train steps over the 1M-item table, and streaming blockwise
+top-k eval (no (B, I) score materialization). Runs a PARTIAL epoch (the full
+10M-user epoch belongs on a pod slice) and prints measured rates.
+
+Usage: python scripts/scale_smoke.py [--users 10000000 --items 1000000]
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=10_000_000)
+    ap.add_argument("--items", type=int, default=1_000_000)
+    ap.add_argument("--degree", type=int, default=50)
+    ap.add_argument("--dim", type=int, default=50)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--train_batches", type=int, default=30)
+    ap.add_argument("--eval_batches", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synthetic_interactions
+    from cdae_tpu.models.base import iter_user_batches_csr
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig, _hidden
+    from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+
+    t0 = time.perf_counter()
+    data = synthetic_interactions(args.users, args.items, args.degree)
+    print(f"# generated {data} in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+
+    model = CDAE(CDAEConfig(
+        num_dim=args.dim, loss="SQUARE", corruption_ratio=0.5, scaled=True,
+        num_neg=5, user_factor=True, batch_size=args.batch_size,
+        cache_device_batches=False, use_pallas=False,
+    ))
+    t0 = time.perf_counter()
+    state = model.reset(data, seed=0)
+    print(f"# reset in {time.perf_counter()-t0:.0f}s "
+          f"(streaming={state.padded is None}, "
+          f"dense={'dense_R' in state.aux})", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    params = state.params
+    batches = itertools.islice(
+        iter_user_batches_csr(state.aux["csr"], state.num_items,
+                              args.batch_size),
+        args.train_batches,
+    )
+    done = 0
+    t0 = time.perf_counter()
+    for b in batches:
+        key, sub = jax.random.split(key)
+        params = model._train_step(
+            params, jnp.asarray(b.uids), jnp.asarray(b.items),
+            jnp.asarray(b.mask), jnp.asarray(b.lengths),
+            jnp.asarray(b.weight), sub,
+        )
+        done += int(b.weight.sum())
+    float(jnp.sum(params["W"]))  # forced readback
+    train_dt = time.perf_counter() - t0
+    state.params = params
+    print(f"# trained {done} users over the {args.items}-item table in "
+          f"{train_dt:.1f}s (incl. compile)", file=sys.stderr)
+
+    # streaming top-k eval over the full 1M-item catalog
+    B = 256
+    users_per_s = []
+    for j in range(args.eval_batches):
+        uids = np.arange(j * B, (j + 1) * B)
+        ri, rm = model._user_rows(state, uids)
+        t0 = time.perf_counter()
+        z = _hidden(state.params, jnp.asarray(uids), jnp.asarray(ri),
+                    jnp.asarray(rm), 1.0, model.cfg)
+        ids, vals = streaming_topk_scores(
+            z, state.params["W"], state.params["b_prime"],
+            jnp.asarray(ri), k=10, block=16384,
+        )
+        float(jnp.sum(vals))
+        users_per_s.append(B / (time.perf_counter() - t0))
+    print(f"# streaming top-10 over {args.items} items: "
+          f"{max(users_per_s):.0f} users/s (best of {args.eval_batches}; "
+          f"first includes compile)", file=sys.stderr)
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

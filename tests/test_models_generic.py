@@ -144,3 +144,32 @@ def test_grouped_instances_from_interactions(splits):
     assert gi.idx.shape == (len(train), 2)
     assert (gi.idx[:, 1] >= train.num_users).all()
     np.testing.assert_array_equal(gi.idx[:, 0], train.users)
+
+
+def test_fism_pair_improves_margins(splits):
+    """Pairwise FISM must push positive scores above sampled negatives:
+    the mean (pos - mean score) margin grows with training."""
+    train, _ = splits
+    model = FISMPair(FISMConfig(num_dim=8, num_neg=3, loss="LOG",
+                                learn_rate=0.1, batch_size=32))
+    state = model.reset(train, seed=0)
+
+    def mean_margin(st):
+        pb = st.padded
+        uids = np.arange(train.num_users)
+        scores = np.asarray(model.batch_scores(st, uids, None, None))
+        csr = train.csr()
+        margins = []
+        for u in uids:
+            rated = csr.row(u)
+            if len(rated) == 0:
+                continue
+            pos = scores[u, rated].mean()
+            margins.append(pos - scores[u].mean())
+        return float(np.mean(margins))
+
+    m0 = mean_margin(state)
+    for i in range(6):
+        state = model.train_one_iteration(state, jax.random.PRNGKey(i))
+    m1 = mean_margin(state)
+    assert m1 > m0 + 1e-3, (m0, m1)
