@@ -85,6 +85,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="restore params before training/testing")
     p.add_argument("--trace_dir", default="",
                    help="write a jax.profiler trace of the training loop")
+    p.add_argument("--dense_mode", default="auto",
+                   help="full-catalog dense training: auto|true|false")
+    p.add_argument("--bf16_compute", type=_booly, default=False,
+                   help="bf16 matmul operands (f32 masters + accumulators)")
     p.add_argument("--skip_popularity", action="store_true",
                    help="skip the always-run Popularity baseline "
                         "(ref yelp.cpp:110-113 always trains it first)")
@@ -152,6 +156,9 @@ def build_model(args):
             batch_size=args.batch_size,
         ))
     if method == "CDAE":
+        import jax.numpy as jnp
+
+        dense = None if args.dense_mode == "auto" else _booly(args.dense_mode)
         return M.CDAE(M.CDAEConfig(
             lambda_=args.lambda_, learn_rate=args.learn_rate, loss=loss,
             num_dim=args.num_dim, using_adagrad=args.adagrad,
@@ -160,6 +167,8 @@ def build_model(args):
             linear=args.linear, num_neg=args.num_neg, scaled=args.scaled,
             beta=args.beta, linear_function=args.linear_function,
             tanh=args.tanh, batch_size=min(args.batch_size, 1024),
+            dense_mode=dense,
+            compute_dtype=jnp.bfloat16 if args.bf16_compute else None,
         ))
     raise SystemExit(f"unknown --method {args.method}")
 
