@@ -161,6 +161,118 @@ def adagrad_update(
     return p_new, a_new
 
 
+# --------------------------------------------- fused decode+top-k (Pallas) --
+
+def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
+                       pool_vals, pool_ids, *, k: int, block: int):
+    """One catalog block: decode scores on the MXU, mask rated, merge into
+    the VMEM-resident running top-k via k max-extract rounds (no sort —
+    Mosaic-friendly)."""
+    j = pl.program_id(0)
+    B = z_ref.shape[0]
+    NEG = jnp.float32(-3.0e38)
+
+    # pool layout: [0:k] running top-k, [k:k+block] this block's scores
+    @pl.when(j == 0)
+    def _():
+        pool_vals[:, 0:k] = jnp.full((B, k), NEG, jnp.float32)
+        pool_ids[:, 0:k] = jnp.zeros((B, k), jnp.int32)
+
+    scores = jax.lax.dot_general(
+        z_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[:]
+    scores = jnp.where(r_ref[:] > 0, NEG, scores)
+    pool_vals[:, k:] = scores
+    pool_ids[:, k:] = j * block + jax.lax.broadcasted_iota(
+        jnp.int32, (B, block), 1
+    )
+
+    pool = pool_vals[:]
+    ids = pool_ids[:]
+    cols = jax.lax.broadcasted_iota(jnp.int32, pool.shape, 1)
+    new_vals = jnp.full((B, k), NEG, jnp.float32)
+    new_ids = jnp.zeros((B, k), jnp.int32)
+    for t in range(k):  # k max-extract rounds (k is small and static)
+        m = jnp.max(pool, axis=1)  # (B,)
+        arg = jnp.argmax(pool, axis=1).astype(jnp.int32)  # first max
+        hit = cols == arg[:, None]
+        sel_id = jnp.sum(jnp.where(hit, ids, 0), axis=1)
+        new_vals = new_vals.at[:, t].set(m)
+        new_ids = new_ids.at[:, t].set(sel_id)
+        pool = jnp.where(hit, NEG, pool)
+    pool_vals[:, 0:k] = new_vals
+    pool_ids[:, 0:k] = new_ids
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        vals_ref[:] = new_vals
+        ids_ref[:] = new_ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def fused_topk_scores(
+    z: jnp.ndarray,  # (B, D) hidden codes
+    W: jnp.ndarray,  # (I, D) decoder table
+    b_prime: jnp.ndarray,  # (I,)
+    rated_rows: jnp.ndarray,  # (B, I) int8 — 1 at rated (dense_R[uids])
+    k: int = 10,
+    block: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-kernel streaming decode + top-k: blocks of the catalog are
+    decoded on the MXU and merged into a VMEM-resident (B, k) running top-k
+    — the fused version of streaming_topk_scores with no HBM score
+    round-trips (SURVEY §7 stage 7 / north-star 'blockwise accumulation').
+    """
+    B, D = z.shape
+    I = W.shape[0]
+    nblk = -(-I // block)
+    Ip = nblk * block
+    Dp = _round_up(D, 128)
+    zp = jnp.pad(z.astype(jnp.float32), ((0, 0), (0, Dp - D)))
+    Wp = jnp.pad(W.astype(jnp.float32), ((0, Ip - I), (0, Dp - D)))
+    bpp = jnp.pad(b_prime.astype(jnp.float32), (0, Ip - I),
+                  constant_values=-3.0e38).reshape(1, Ip)
+    rp = jnp.pad(rated_rows.astype(jnp.int8), ((0, 0), (0, Ip - I)))
+    kernel = functools.partial(_fused_topk_kernel, k=k, block=block)
+    ids, vals = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, Dp), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, Dp), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k + block), jnp.float32),
+            pltpu.VMEM((B, k + block), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Ip * Dp,
+            bytes_accessed=(B * Dp + Ip * Dp + B * Ip) * 4,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(zp, Wp, bpp, rp)
+    return ids, vals
+
+
 # ------------------------------------------------- streaming top-k (XLA) ----
 
 @functools.partial(jax.jit, static_argnames=("k", "block"))

@@ -72,3 +72,24 @@ def test_streaming_topk_matches_dense(rng_np):
     np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_fused_topk_matches_dense(rng_np):
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+    B, D, I, L, K = 8, 16, 300, 6, 10
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    rated = np.zeros((B, I), dtype=np.int8)
+    rated_list = np.sort(rng_np.choice(I, size=(B, L), replace=False), axis=1)
+    for b in range(B):
+        rated[b, rated_list[b]] = 1
+    scores = z @ W.T + bp[None, :]
+    ids_ref, vals_ref = topk_unrated(
+        scores, jnp.asarray(rated_list.astype(np.int32)), K
+    )
+    ids, vals = fused_topk_scores(z, W, bp, jnp.asarray(rated), k=K, block=64)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
