@@ -444,8 +444,6 @@ class CDAE(RecsysModel):
         B = np.asarray(uids).shape[0]
         if B * state.num_items <= 200_000_000:
             return None
-        from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
-
         z = _hidden(
             state.params,
             jnp.asarray(uids),
@@ -459,6 +457,16 @@ class CDAE(RecsysModel):
         table = (
             state.params["V"] if self.cfg.asymmetric else state.params["W"]
         )
+        if "dense_R" in state.aux and self.cfg.use_pallas:
+            from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+            ids, _ = fused_topk_scores(
+                z, table, state.params["b_prime"],
+                state.aux["dense_R"][jnp.asarray(uids)], k=k,
+            )
+            return ids
+        from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+
         ids, _ = streaming_topk_scores(
             z, table, state.params["b_prime"], jnp.asarray(rated_items), k=k
         )

@@ -183,7 +183,8 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bp_ref[:]
-    scores = jnp.where(r_ref[:] > 0, NEG, scores)
+    # int8 compare is unsupported on this Mosaic target — widen first
+    scores = jnp.where(r_ref[:].astype(jnp.float32) > 0.0, NEG, scores)
     pool_vals[:, k:] = scores
     pool_ids[:, k:] = j * block + jax.lax.broadcasted_iota(
         jnp.int32, (B, block), 1
@@ -192,6 +193,7 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
     pool = pool_vals[:]
     ids = pool_ids[:]
     cols = jax.lax.broadcasted_iota(jnp.int32, pool.shape, 1)
+    cols_k = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
     new_vals = jnp.full((B, k), NEG, jnp.float32)
     new_ids = jnp.zeros((B, k), jnp.int32)
     for t in range(k):  # k max-extract rounds (k is small and static)
@@ -199,8 +201,10 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
         arg = jnp.argmax(pool, axis=1).astype(jnp.int32)  # first max
         hit = cols == arg[:, None]
         sel_id = jnp.sum(jnp.where(hit, ids, 0), axis=1)
-        new_vals = new_vals.at[:, t].set(m)
-        new_ids = new_ids.at[:, t].set(sel_id)
+        # one-hot writes (Mosaic has no value-scatter; t is static)
+        slot = cols_k == t
+        new_vals = jnp.where(slot, m[:, None], new_vals)
+        new_ids = jnp.where(slot, sel_id[:, None], new_ids)
         pool = jnp.where(hit, NEG, pool)
     pool_vals[:, 0:k] = new_vals
     pool_ids[:, 0:k] = new_ids
