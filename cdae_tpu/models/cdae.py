@@ -457,12 +457,22 @@ class CDAE(RecsysModel):
         table = (
             state.params["V"] if self.cfg.asymmetric else state.params["W"]
         )
-        if "dense_R" in state.aux and self.cfg.use_pallas:
+        if self.cfg.use_pallas:
             from cdae_tpu.ops.pallas_kernels import fused_topk_scores
 
+            if "dense_R" in state.aux:
+                rated_rows = state.aux["dense_R"][jnp.asarray(uids)]
+            else:
+                # build the (B, I) int8 rated rows on device per batch
+                ri = jnp.asarray(rated_items)
+                b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+                rated_rows = (
+                    jnp.zeros((B, state.num_items), jnp.int8)
+                    .at[b_idx, ri]
+                    .set(1, mode="drop")
+                )
             ids, _ = fused_topk_scores(
-                z, table, state.params["b_prime"],
-                state.aux["dense_R"][jnp.asarray(uids)], k=k,
+                z, table, state.params["b_prime"], rated_rows, k=k
             )
             return ids
         from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
