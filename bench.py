@@ -72,7 +72,7 @@ def main():
     I = int(os.environ.get("BENCH_ITEMS", 3706))
     deg = int(os.environ.get("BENCH_DEG", 160))
     dim = int(os.environ.get("BENCH_DIM", 50))
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 3072))
     min_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
     budget_s = float(os.environ.get("BENCH_SECONDS", 30))
 
