@@ -84,6 +84,10 @@ class CDAEConfig:
     stream_batches: Optional[bool] = None  # CSR streaming (no full padded
     # matrix); None = auto when U*max_len would exceed ~2e8 elements
     cache_device_batches: bool = True  # keep all batches device-resident
+    fast_rng: Optional[bool] = None  # TPU hardware PRNG for the dense-mode
+    # corruption/negative masks (threefry was ~60% of the dense step);
+    # None = auto on TPU. Deterministic per key, different stream than
+    # threefry (parity judged on metrics).
     dense_mode: Optional[bool] = None  # full-catalog dense training: every
     # gather/scatter becomes a (B,I)x(I,D) MXU matmul (TPU scatters are
     # serialized and dominate the sparse path). Negative sampling becomes
@@ -125,6 +129,10 @@ class CDAE(RecsysModel):
             # overrides this with the plain XLA matmul
             self.cfg = dataclasses.replace(
                 self.cfg, use_pallas=jax.default_backend() == "tpu"
+            )
+        if self.cfg.fast_rng is None:
+            self.cfg = dataclasses.replace(
+                self.cfg, fast_rng=jax.default_backend() == "tpu"
             )
         self.loss = Loss.create(self.cfg.loss)
         self.penalty = Penalty.create(self.cfg.penalty)
@@ -764,11 +772,20 @@ def _dense_train_step(
     w_user = weight.astype(dt)
     rows = dense_R[uids].astype(dt) * w_user[:, None]  # (B, I) 0/1
     lengths = jnp.sum(rows, axis=1)  # (B,)
+    B_, I_ = rows.shape
+
+    def uniform(k):
+        if cfg.fast_rng:
+            from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+            seed = jax.random.key_data(k).ravel()[-1].astype(jnp.int32)
+            return hw_uniform(seed, (B_, I_))
+        return jax.random.uniform(k, rows.shape)
 
     # corruption: iid keep w.p. (1-q) (ref cdae.hpp:361-371)
     if cfg.corruption_ratio > 0.0:
         kept = rows * (
-            jax.random.uniform(k_corrupt, rows.shape) > cfg.corruption_ratio
+            uniform(k_corrupt) > cfg.corruption_ratio
         ).astype(dt)
     else:
         kept = rows
@@ -802,7 +819,7 @@ def _dense_train_step(
     )
     neg_sel = (
         (1.0 - rows)
-        * (jax.random.uniform(k_neg, rows.shape) < p_neg[:, None]).astype(dt)
+        * (uniform(k_neg) < p_neg[:, None]).astype(dt)
         * w_user[:, None]
     )
     w_mat = rows + neg_sel  # per-(user,item) touch counts
