@@ -69,6 +69,8 @@ class MFConfig:
     # slabs instead of scatter-adds (TPU scatters serialize); Bernoulli
     # complement negatives with E[count]=num_neg per positive. None = auto
     # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
+    fast_rng: Optional[bool] = None  # TPU hardware PRNG for dense negative
+    # masks (see CDAEConfig.fast_rng); None = auto on TPU
     dtype: Any = jnp.float32
 
 
@@ -137,6 +139,10 @@ class _MFBase(RecsysModel):
 
     def __init__(self, config: Optional[MFConfig] = None, **kw):
         self.cfg = config if config is not None else MFConfig(**kw)
+        if self.cfg.fast_rng is None:
+            self.cfg = dataclasses.replace(
+                self.cfg, fast_rng=jax.default_backend() == "tpu"
+            )
         self.loss = Loss.create(self.cfg.loss)
         self.penalty = Penalty.create(self.cfg.penalty)
         self._jit_step = jax.jit(
@@ -399,10 +405,15 @@ class IMF(_MFBase):
         p_neg = jnp.clip(
             cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
         )
+        if cfg.fast_rng:
+            from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+            u = hw_uniform(seed, rows.shape)
+        else:
+            u = jax.random.uniform(key, rows.shape)
         neg_sel = (
-            (1.0 - rows)
-            * (jax.random.uniform(key, rows.shape) < p_neg[:, None]).astype(dt)
-            * w_user[:, None]
+            (1.0 - rows) * (u < p_neg[:, None]).astype(dt) * w_user[:, None]
         )
         w_mat = rows + neg_sel
         labels = jnp.full_like(rows, loss.positive_label)
