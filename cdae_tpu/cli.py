@@ -66,6 +66,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--linear", type=_booly, default=False)
     p.add_argument("--scaled", type=_booly, default=False)
     p.add_argument("--user_factor", type=_booly, default=True)
+    p.add_argument("--linear_output", type=_booly, default=False,
+                   help="accepted for sweep-grid compatibility; a no-op "
+                        "exactly like the reference (yelp.cpp:41 defines it "
+                        "but maps it to no CDAEConfig field — the decoder "
+                        "is always linear)")
+    p.add_argument("--num_thread", type=int, default=0,
+                   help="native loader threads (ref --num_thread; 0 = auto)")
     p.add_argument("--cnum", type=int, default=1)
     p.add_argument("--cratio", type=float, default=0.0)
     p.add_argument("--loss_type", default="SQUARE")
