@@ -185,7 +185,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     eval_types = [e.strip() for e in args.eval.split(",") if e.strip()]
 
     if args.task == "prepare":
-        data = Interactions.from_text(args.input_file, PARSERS[args.parser])
+        data = Interactions.from_text(args.input_file, PARSERS[args.parser],
+                                      num_threads=args.num_thread)
         logger.info("loaded %s", data)
         data_io.save_interactions(data, args.cache_file)
         logger.info("cached -> %s", args.cache_file)

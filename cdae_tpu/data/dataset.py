@@ -128,6 +128,7 @@ class Interactions:
         user_vocab: Optional[Vocab] = None,
         item_vocab: Optional[Vocab] = None,
         use_native: Optional[bool] = None,
+        num_threads: int = 0,
     ) -> "Interactions":
         """Stream a text file through ``parser`` (ref Data::load RECSYS path,
         src/base/data-inl.hpp:45-64 + FileLineReader, skipping blank lines).
@@ -146,7 +147,7 @@ class Interactions:
             from cdae_tpu import _native
 
             out = (
-                _native.parse_text(path, native_fmt)
+                _native.parse_text(path, native_fmt, num_threads)
                 if _native.available()
                 else None
             )
