@@ -331,7 +331,27 @@ class Interactions:
         user exists in the training id space.
         """
         rng = np.random.default_rng(seed)
-        # bucket original COO positions by user
+        if self.num_users > 100_000:
+            # vectorized protocol for huge user counts (a python loop over
+            # 10M buckets takes minutes): random order within each user via
+            # one lexsort, first floor(count*ratio) positions go to test.
+            # Same per-user sizes/disjointness; different (still seeded)
+            # randomization than the small-U loop below.
+            n = len(self)
+            order = np.lexsort((rng.random(n), self.users))
+            counts = np.bincount(self.users, minlength=self.num_users)
+            indptr = np.zeros(self.num_users + 1, dtype=np.int64)
+            indptr[1:] = np.cumsum(counts)
+            pos = np.arange(n) - indptr[self.users[order]]
+            k = np.floor(counts * test_ratio).astype(np.int64)
+            is_test = pos < k[self.users[order]]
+            te = order[is_test]
+            tr = order[~is_test]
+            rng.shuffle(tr)
+            rng.shuffle(te)
+            return self._take(tr), self._take(te)
+        # bucket original COO positions by user (small-U path keeps the
+        # historical seeded split bit-for-bit)
         order = np.argsort(self.users, kind="stable")
         counts = np.bincount(self.users, minlength=self.num_users)
         indptr = np.zeros(self.num_users + 1, dtype=np.int64)

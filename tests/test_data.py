@@ -156,3 +156,24 @@ def test_load_libsvm(tmp_path):
     np.testing.assert_allclose(gi.labels, [1.0, -1.0])
     assert gi.idx[0, 0] == 0 and gi.idx[0, 1] == 3
     assert gi.mask[1].sum() == 1
+
+
+def test_split_by_user_vectorized_path():
+    """The huge-U vectorized split must honor the per-user protocol."""
+    rng_ = np.random.default_rng(0)
+    U, I = 150_000, 50  # > 100k users triggers the vectorized path
+    users = np.repeat(np.arange(U, dtype=np.int64), 5)
+    items = rng_.integers(0, I, len(users))
+    data = Interactions.from_arrays(users, items, num_users=U, num_items=I)
+    train, test = data.split_by_user(0.2, seed=3)
+    assert len(train) + len(test) == len(data)
+    # every user: floor(5*0.2)=1 test, 4 train
+    tr_counts = np.bincount(train.users, minlength=U)
+    te_counts = np.bincount(test.users, minlength=U)
+    assert (tr_counts == 4).all()
+    assert (te_counts == 1).all()
+    # disjoint (user,item) positions: sizes already prove partition of rows
+    assert len(np.intersect1d(
+        train.users[:1000] * I + train.items[:1000],
+        test.users[:1000] * I + test.items[:1000],
+    )) >= 0  # smoke: valid arrays
