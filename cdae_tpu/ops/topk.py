@@ -34,7 +34,16 @@ def topk_unrated(
     rated_items: jnp.ndarray,  # (B, L) padded with I
     k: int,
 ):
-    """Top-k item ids + scores excluding rated items. Returns (ids, vals)."""
+    """Top-k item ids + scores excluding rated items. Returns (ids, vals).
+
+    Catalogs smaller than k are padded with -inf slots whose ids come back
+    as the sentinel ``I`` (never matches a real item in the metrics)."""
+    I = scores.shape[1]
     masked = mask_rated(scores, rated_items)
+    if I < k:
+        masked = jnp.pad(
+            masked, ((0, 0), (0, k - I)), constant_values=NEG_INF
+        )
     vals, ids = jax.lax.top_k(masked, k)
+    ids = jnp.where(ids >= I, I, ids)
     return ids.astype(jnp.int32), vals
