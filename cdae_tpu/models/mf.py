@@ -70,7 +70,9 @@ class MFConfig:
     # complement negatives with E[count]=num_neg per positive. None = auto
     # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
     fast_rng: Optional[bool] = None  # TPU hardware PRNG for dense negative
-    # masks (see CDAEConfig.fast_rng); None = auto on TPU
+    # masks (see CDAEConfig.fast_rng); None = off (CDAE's fast_rng carries a
+    # completed parity validation; the MF one is opt-in until its harness
+    # run is recorded)
     dtype: Any = jnp.float32
 
 
@@ -140,9 +142,7 @@ class _MFBase(RecsysModel):
     def __init__(self, config: Optional[MFConfig] = None, **kw):
         self.cfg = config if config is not None else MFConfig(**kw)
         if self.cfg.fast_rng is None:
-            self.cfg = dataclasses.replace(
-                self.cfg, fast_rng=jax.default_backend() == "tpu"
-            )
+            self.cfg = dataclasses.replace(self.cfg, fast_rng=False)
         self.loss = Loss.create(self.cfg.loss)
         self.penalty = Penalty.create(self.cfg.penalty)
         self._jit_step = jax.jit(
