@@ -87,6 +87,30 @@ def make_sharded_dense_step(model: CDAE, mesh: Mesh, params: Dict):
     )
 
 
+def make_sharded_mf_dense_step(model, mesh: Mesh, params: Dict):
+    """jit a dense-mode MF step (IMF/PMF) under GSPMD: user tables shard
+    over 'data', item tables over 'model', (B, I) slabs over both axes."""
+    from cdae_tpu.parallel.mesh import mf_param_specs
+
+    pspecs = mf_param_specs(params)
+    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    step = functools.partial(model._dense_step, cfg=model.cfg,
+                             loss=model.loss)
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_sh,
+            NamedSharding(mesh, P("data", "model")),  # dense_R
+            NamedSharding(mesh, P("data", "model")),  # ratings (or R again)
+            NamedSharding(mesh, P("data")),  # uids
+            NamedSharding(mesh, P("data")),  # weight
+            NamedSharding(mesh, P()),  # rng key
+        ),
+        out_shardings=param_sh,
+        donate_argnums=(0,),
+    )
+
+
 def make_sharded_scores(model: CDAE, mesh: Mesh, params: Dict):
     """jit full-catalog scoring with (data, model)-sharded output."""
     import dataclasses

@@ -176,3 +176,40 @@ def test_sharded_dense_matches_single_chip(mesh):
         abs(r["train_loss"]), 1.0
     )
     assert abs(r["R@10"] - s["R@10"]) < 1e-6
+
+
+def test_sharded_mf_dense_step_matches_single_chip(mesh):
+    """Dense IMF step under DP x TP shardings equals the single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cdae_tpu.models.mf import IMF, MFConfig
+    from cdae_tpu.parallel.mesh import mf_param_specs
+    from cdae_tpu.parallel.sharded import make_sharded_mf_dense_step
+
+    data = _tiny(num_users=32, num_items=64, seed=3)
+    model = IMF(MFConfig(num_dim=16, num_neg=3, batch_size=16,
+                         dense_mode=True, fast_rng=False))
+    state = model.reset(data, seed=0)
+    R = state.aux["dense_R"]
+    uid_mat, w_mat = model._dense_user_batches(state)
+    key = jax.random.PRNGKey(5)
+
+    params_np = {k: np.asarray(v) for k, v in state.params.items()}
+    ref = model._jit_dense_step(
+        {k: jnp.asarray(v) for k, v in params_np.items()},
+        R, R, uid_mat[0], w_mat[0], key,
+    )
+
+    pspecs = mf_param_specs(state.params)
+    params_sh = {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, pspecs[k]))
+        for k, v in params_np.items()
+    }
+    R_sh = jax.device_put(R, NamedSharding(mesh, P("data", "model")))
+    step = make_sharded_mf_dense_step(model, mesh, params_sh)
+    got = step(params_sh, R_sh, R_sh, uid_mat[0], w_mat[0], key)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
+            err_msg=k,
+        )
