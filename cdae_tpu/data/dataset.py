@@ -385,10 +385,16 @@ def rows_from_csr(csr, users: np.ndarray, num_items: int):
     n = len(users)
     items = np.full((n, L), num_items, dtype=np.int32)
     ratings = np.zeros((n, L), dtype=np.float32)
-    for row, u in enumerate(users):
-        s, e = csr.indptr[u], csr.indptr[u + 1]
-        items[row, : e - s] = csr.indices[s:e]
-        ratings[row, : e - s] = csr.values[s:e]
+    # vectorized ragged copy (no per-row python loop)
+    counts = lengths.astype(np.int64)
+    total = int(counts.sum())
+    if total:
+        row_of = np.repeat(np.arange(n), counts)
+        cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(total) - np.repeat(cum0, counts)
+        src = np.repeat(csr.indptr[users], counts) + pos
+        items[row_of, pos] = csr.indices[src]
+        ratings[row_of, pos] = csr.values[src]
     mask = np.arange(L)[None, :] < lengths[:, None]
     return items, ratings, mask, lengths
 

@@ -146,13 +146,16 @@ def iter_user_batches_csr(
             L = min(L, max_len_cap)
         items = np.full((batch_size, L), num_items, dtype=np.int32)
         ratings = np.zeros((batch_size, L), dtype=np.float32)
-        for row, u in enumerate(sel):
-            if weight[row] == 0:
-                continue
-            s, e = csr.indptr[u], csr.indptr[u + 1]
-            n = min(int(e - s), L)
-            items[row, :n] = csr.indices[s : s + n]
-            ratings[row, :n] = csr.values[s : s + n]
+        # vectorized ragged copy (live rows only; lengths already weighted)
+        counts = np.minimum(lengths, L).astype(np.int64)
+        total = int(counts.sum())
+        if total:
+            row_of = np.repeat(np.arange(batch_size), counts)
+            cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(total) - np.repeat(cum0, counts)
+            src = np.repeat(csr.indptr[sel], counts) + pos
+            items[row_of, pos] = csr.indices[src]
+            ratings[row_of, pos] = csr.values[src]
         lengths = np.minimum(lengths, L)
         mask = np.arange(L)[None, :] < lengths[:, None]
         yield UserMinibatch(
