@@ -173,7 +173,10 @@ class RecListEvaluation(Evaluation):
             np.int32
         )
         batches = []
-        bs = self.batch_size
+        # clamp to the validation population (next pow2): a 25-user fixture
+        # must not pad every batch to 1024 rows
+        pop = max(len(val_users), 1)
+        bs = min(self.batch_size, 1 << (pop - 1).bit_length())
         for start in range(0, len(val_users), bs):
             sel = val_users[start : start + bs]
             pad = bs - len(sel)
