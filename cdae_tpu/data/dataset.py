@@ -219,6 +219,24 @@ class Interactions:
             f"items={self.num_items})"
         )
 
+    def describe(self, head: int = 5) -> str:
+        """Schema + head pretty-printer (ref Data operator<<,
+        src/base/data-inl.hpp:82-105 prints dims, group sizes, head rows)."""
+        lines = [
+            repr(self),
+            f"  density: {len(self) / max(self.num_users * self.num_items, 1):.6f}",
+            f"  per-user interactions: min={int(self.csr().row_lengths().min()) if len(self) else 0} "
+            f"max={int(self.csr().row_lengths().max()) if len(self) else 0} "
+            f"mean={len(self) / max(self.num_users, 1):.1f}",
+            "  head (user, item, rating):",
+        ]
+        for j in range(min(head, len(self))):
+            u, i, r = self.users[j], self.items[j], self.ratings[j]
+            uo = self.user_vocab.key(int(u)) if self.user_vocab else u
+            io_ = self.item_vocab.key(int(i)) if self.item_vocab else i
+            lines.append(f"    {uo} {io_} {r}")
+        return "\n".join(lines)
+
     def with_dims(self, num_users: int, num_items: int) -> "Interactions":
         out = Interactions(
             self.users, self.items, self.ratings, num_users, num_items,
