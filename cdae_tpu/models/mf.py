@@ -39,6 +39,7 @@ import numpy as np
 from cdae_tpu.data.dataset import Interactions
 from cdae_tpu.models.base import ModelState, RecsysModel
 from cdae_tpu.ops import sampling
+from cdae_tpu.ops.scatter import scatter_add_rows
 from cdae_tpu.ops.losses import Loss
 from cdae_tpu.ops.penalties import Penalty
 from cdae_tpu.solver.optimizer import (
@@ -73,6 +74,11 @@ class MFConfig:
     # masks (see CDAEConfig.fast_rng); None = off (CDAE's fast_rng carries a
     # completed parity validation; the MF one is opt-in until its harness
     # run is recorded)
+    scatter_mode: str = "auto"  # auto|matmul|scatter — how per-instance
+    # gradient rows are aggregated into the parameter tables. TPU scatters
+    # serialize; "matmul" routes them through the MXU as one-hot matmuls
+    # (ops/scatter.py). "auto" picks matmul whenever its FLOP cost is in
+    # budget (always, at MF-family shapes).
     dtype: Any = jnp.float32
 
 
@@ -115,20 +121,27 @@ def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
     )
     g = loss.gradient(pred, labels) * w
 
+    sm = cfg.scatter_mode
     grads = {
-        "uv": jnp.zeros_like(params["uv"]).at[u].add(
-            g[:, None] * params["iv"][i] + (lam2 * params["uv"][u]) * w[:, None]
+        "uv": scatter_add_rows(
+            jnp.zeros_like(params["uv"]), u,
+            g[:, None] * params["iv"][i] + (lam2 * params["uv"][u]) * w[:, None],
+            mode=sm,
         ),
-        "iv": jnp.zeros_like(params["iv"]).at[i].add(
-            g[:, None] * params["uv"][u] + (lam2 * params["iv"][i]) * w[:, None]
+        "iv": scatter_add_rows(
+            jnp.zeros_like(params["iv"]), i,
+            g[:, None] * params["uv"][u] + (lam2 * params["iv"][i]) * w[:, None],
+            mode=sm,
         ),
     }
     if cfg.using_bias_term:
-        grads["ub"] = jnp.zeros_like(params["ub"]).at[u].add(
-            g + lam2 * params["ub"][u] * w
+        grads["ub"] = scatter_add_rows(
+            jnp.zeros_like(params["ub"]), u, g + lam2 * params["ub"][u] * w,
+            mode=sm,
         )
-        grads["ib"] = jnp.zeros_like(params["ib"]).at[i].add(
-            g + lam2 * params["ib"][i] * w
+        grads["ib"] = scatter_add_rows(
+            jnp.zeros_like(params["ib"]), i, g + lam2 * params["ib"][i] * w,
+            mode=sm,
         )
     return grads
 
@@ -472,21 +485,32 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
     g = loss.gradient(pred, 1.0) * w
     if rank_weight is not None:
         g = g * rank_weight
+    sm = cfg.scatter_mode
+    # i- and j-side contributions ride ONE one-hot matmul over the stacked
+    # (2P,) index vector (ops/scatter.py replaces the serialized scatter)
+    ij = jnp.concatenate([i, j])
+    iv_vals = jnp.concatenate(
+        [
+            g[:, None] * uv_u + (lam2 * iv_i) * w[:, None],
+            -g[:, None] * uv_u + (lam2 * iv_j) * w[:, None],
+        ]
+    )
     grads = {
-        "uv": jnp.zeros_like(params["uv"]).at[u].add(
-            g[:, None] * (iv_i - iv_j) + (lam2 * uv_u) * w[:, None]
+        "uv": scatter_add_rows(
+            jnp.zeros_like(params["uv"]), u,
+            g[:, None] * (iv_i - iv_j) + (lam2 * uv_u) * w[:, None],
+            mode=sm,
         ),
-        "iv": (
-            jnp.zeros_like(params["iv"])
-            .at[i].add(g[:, None] * uv_u + (lam2 * iv_i) * w[:, None])
-            .at[j].add(-g[:, None] * uv_u + (lam2 * iv_j) * w[:, None])
+        "iv": scatter_add_rows(
+            jnp.zeros_like(params["iv"]), ij, iv_vals, mode=sm
         ),
     }
     if update_bias and cfg.using_bias_term:
-        grads["ib"] = (
-            jnp.zeros_like(params["ib"])
-            .at[i].add(g + lam2 * params["ib"][i] * w)
-            .at[j].add(-g + lam2 * params["ib"][j] * w)
+        ib_vals = jnp.concatenate(
+            [g + lam2 * params["ib"][i] * w, -g + lam2 * params["ib"][j] * w]
+        )
+        grads["ib"] = scatter_add_rows(
+            jnp.zeros_like(params["ib"]), ij, ib_vals, mode=sm
         )
     return grads
 

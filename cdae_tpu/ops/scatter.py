@@ -1,0 +1,68 @@
+"""MXU scatter: one-hot-matmul replacement for data-dependent scatter-adds.
+
+TPU scatters serialize (one index per cycle-ish; see CLAUDE.md / BASELINE.md
+profile notes), which left the pairwise model family (BPR/WARP/FISM) at
+~1x the reference CPU's sequential hot loop (ref bpr.hpp:72-106,
+warp.hpp:90-117). The aggregation those models need —
+
+    out[n] += sum_{p : idx[p] == n} vals[p]          (n < num_rows)
+
+— is exactly a matmul against a one-hot matrix: ``onehot(idx).T @ vals``.
+XLA fuses the ``iota == idx`` comparison into the dot-operand generation, so
+the (P, N) one-hot never hits HBM and the sum rides the systolic array
+instead of the scatter unit.
+
+Cost model: matmul does 2·P·N·D FLOPs vs the scatter's ~P serialized row
+updates; on TPU the matmul wins by >10x for the batch shapes the MF family
+uses (P ≈ 5–20k pairs, N ≈ catalog size). For very large N·P the FLOP cost
+crosses over, so `scatter_add_rows` picks a strategy by size (override via
+the `mode` argument).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# One-hot matmul pays 2·P·N·D FLOPs; the serialized scatter pays ~P row
+# updates at ~10M rows/s (measured, BASELINE.md). Crossover at roughly
+# P·N·D ≈ 1e11 for a ~100 TFLOP/s part; keep a safety margin.
+_MATMUL_FLOP_LIMIT = 2.0e11
+
+
+def matmul_scatter_add(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int,
+                       *, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """sum_p onehot(idx[p], num_rows) ⊗ vals[p] via the MXU.
+
+    idx: (P,) int32 row ids (entries outside [0, num_rows) contribute 0 —
+         callers use id == num_rows as a "dead slot" sentinel).
+    vals: (P, D) or (P,) contributions.
+    Returns (num_rows, D) or (num_rows,) sums, f32-exact per contribution
+    (precision=HIGHEST keeps the dot in f32; the one-hot side is exact in
+    any dtype).
+    """
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    oh = idx[:, None] == jax.lax.iota(idx.dtype, num_rows)[None, :]  # (P, N)
+    out = jnp.einsum("pn,pd->nd", oh.astype(vals.dtype), vals,
+                     precision=precision)
+    return out[:, 0] if squeeze else out
+
+
+def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
+                     *, mode: str = "auto") -> jnp.ndarray:
+    """base.at[idx].add(vals), strategy-selected (mode: auto|matmul|scatter).
+
+    Replaces the serialized TPU scatter with `matmul_scatter_add` whenever
+    the matmul's FLOP cost is within budget (always, for MF-family shapes).
+    """
+    if mode == "scatter":
+        return base.at[idx].add(vals)
+    num_rows = base.shape[0]
+    d = 1 if vals.ndim == 1 else vals.shape[-1]
+    if mode == "matmul" or (
+        idx.shape[0] * num_rows * d * 2.0 <= _MATMUL_FLOP_LIMIT
+    ):
+        return base + matmul_scatter_add(idx, vals, num_rows)
+    return base.at[idx].add(vals)

@@ -1,0 +1,108 @@
+"""Model-zoo TPU throughput bench (users/s, forced-readback timing).
+
+Measures the MF family on the same ML-1M-scale synthetic workload as the
+C++ oracle's `bench_mf` mode (csrc/baseline_cdae.cpp), so the two sets of
+numbers are directly comparable (VERDICT round-1 items 1 & 3).
+
+usage: python scripts/bench_zoo.py [BPR WARP IMF ...] [--dim N] [--batch N]
+       [--scatter auto|matmul|scatter] [--seconds S]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synthetic(num_users, num_items, avg_degree, seed=20141119):
+    from cdae_tpu.data.dataset import Interactions
+
+    rng = np.random.default_rng(seed)
+    degrees = np.minimum(
+        1 + rng.geometric(1.0 / avg_degree, size=num_users), num_items - 1
+    )
+    users = np.repeat(np.arange(num_users, dtype=np.int64), degrees)
+    items = rng.integers(0, num_items, size=len(users))
+    pairs = np.unique(users * num_items + items)
+    return Interactions.from_arrays(
+        (pairs // num_items).astype(np.int32),
+        (pairs % num_items).astype(np.int32),
+        num_users=num_users, num_items=num_items,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*", default=["BPR"])
+    ap.add_argument("--users", type=int, default=6040)
+    ap.add_argument("--items", type=int, default=3706)
+    ap.add_argument("--deg", type=int, default=160)
+    ap.add_argument("--dim", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--scatter", default="auto")
+    ap.add_argument("--seconds", type=float, default=12.0)
+    ap.add_argument("--dense", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cdae_tpu.models import als as als_mod
+    from cdae_tpu.models import fism as fism_mod
+    from cdae_tpu.models import mf as mf_mod
+
+    data = synthetic(args.users, args.items, args.deg)
+    print(f"# data: {data.num_users}u x {data.num_items}i "
+          f"{len(data.users)} interactions", file=sys.stderr)
+
+    for name in (args.models or ["BPR"]):
+        if name in ("BPR", "WARP", "IMF", "PMF"):
+            cls = getattr(mf_mod, name)
+            cfg = mf_mod.MFConfig(
+                num_dim=args.dim, batch_size=args.batch,
+                scatter_mode=args.scatter,
+                dense_mode=True if args.dense else None,
+            )
+            if name == "BPR":
+                cfg = cfg.__class__(**{**cfg.__dict__, "loss": "LOG"})
+            if name == "WARP":
+                cfg = cfg.__class__(**{**cfg.__dict__, "loss": "HINGE",
+                                       "beta": 0.0, "lambda_": 0.1})
+            model = cls(cfg)
+        elif name == "FISM":
+            model = fism_mod.FISM(fism_mod.FISMConfig(
+                num_dim=args.dim, batch_size=args.batch))
+        else:
+            raise SystemExit(f"unknown model {name}")
+
+        state = model.reset(data, seed=0)
+        key = jax.random.PRNGKey(0)
+
+        def checksum(s):
+            p = s.params
+            arr = p.get("iv", p.get("q"))
+            return float(jnp.sum(arr))
+
+        # warmup (compile)
+        key, sub = jax.random.split(key)
+        state = model.train_one_iteration(state, sub)
+        checksum(state)
+
+        t0 = time.perf_counter()
+        epochs = 0
+        while time.perf_counter() - t0 < args.seconds and epochs < 500:
+            key, sub = jax.random.split(key)
+            state = model.train_one_iteration(state, sub)
+            epochs += 1
+        checksum(state)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "model": name, "users_per_sec": round(args.users * epochs / dt, 1),
+            "epochs": epochs, "elapsed_s": round(dt, 2), "dim": args.dim,
+            "batch": args.batch, "scatter": args.scatter,
+        }))
+
+
+if __name__ == "__main__":
+    main()

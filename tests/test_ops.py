@@ -329,3 +329,38 @@ def test_full_catalog_user_trains_safely():
         st = mm.reset(data, seed=0)
         st = mm.train_one_iteration(st, jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(st.params["iv"])).all()
+
+
+def test_matmul_scatter_add_matches_numpy():
+    """MXU scatter (ops/scatter.py) == np.add.at, incl. the id==num_rows
+    dead-slot sentinel and 1-D values."""
+    import jax.numpy as jnp
+
+    from cdae_tpu.ops.scatter import matmul_scatter_add, scatter_add_rows
+
+    rng = np.random.default_rng(7)
+    P, N, D = 257, 53, 11
+    idx = rng.integers(0, N + 1, size=P)  # N == dead slot
+    vals = rng.standard_normal((P, D)).astype(np.float32)
+    ref = np.zeros((N, D), np.float32)
+    live = idx < N
+    np.add.at(ref, idx[live], vals[live])
+
+    out = matmul_scatter_add(jnp.asarray(idx, jnp.int32), jnp.asarray(vals), N)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+    base = rng.standard_normal((N, D)).astype(np.float32)
+    for mode in ("auto", "matmul", "scatter"):
+        out2 = scatter_add_rows(
+            jnp.asarray(base), jnp.asarray(idx[live], jnp.int32),
+            jnp.asarray(vals[live]), mode=mode,
+        )
+        np.testing.assert_allclose(np.asarray(out2), base + ref,
+                                   rtol=1e-5, atol=1e-5)
+
+    # 1-D values
+    v1 = rng.standard_normal(P).astype(np.float32)
+    ref1 = np.zeros((N,), np.float32)
+    np.add.at(ref1, idx[live], v1[live])
+    out1 = matmul_scatter_add(jnp.asarray(idx, jnp.int32), jnp.asarray(v1), N)
+    np.testing.assert_allclose(np.asarray(out1), ref1, rtol=1e-6, atol=1e-6)
