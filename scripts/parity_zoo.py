@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Metric-parity harness for the MF zoo: TPU-native IMF + BPR vs the
-reference-semantics C++ implementations on an identical split (extends
-scripts/parity_cdae.py to the model zoo).
+"""Metric-parity harness for the MF zoo: TPU-native IMF/BPR/WARP/FISM/NegMF
+vs the reference-semantics C++ implementations on an identical split
+(extends scripts/parity_cdae.py to the model zoo).
 
 Run: python scripts/parity_zoo.py [--users 1200 --items 600 --iters 20]
+     [--models MF BPR WARP FISM NegMF] [--platform cpu]
 """
 
 import argparse
@@ -27,13 +28,23 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--tolerance", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=20141119)
+    ap.add_argument("--models", nargs="*",
+                    default=["MF", "BPR", "WARP", "FISM", "NegMF"])
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (e.g. cpu); parity is a "
+                    "semantics check, CPU avoids the TPU tunnel")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     from cdae_tpu.data.synthetic import lowrank_interactions, write_pairs
     from cdae_tpu.evaluation import Evaluation
-    from cdae_tpu.models.mf import BPR, IMF, MFConfig
+    from cdae_tpu.models.fism import FISM, FISMConfig
+    from cdae_tpu.models.linear import FactorModelConfig, NegMF
+    from cdae_tpu.models.mf import BPR, IMF, WARP, MFConfig
 
     data = lowrank_interactions(args.users, args.items, args.degree,
                                 seed=args.seed)
@@ -53,10 +64,34 @@ def main() -> int:
         te_path = os.path.join(td, "test.txt")
         write_pairs(tr_path, train)
         write_pairs(te_path, test)
-        for method, cls, kw in (
-            ("MF", IMF, dict(loss="SQUARE")),
-            ("BPR", BPR, dict(loss="LOG")),
-        ):
+        def build(method):
+            """TPU model with the same hyperparameters the C++ oracle
+            hardcodes for `parity_mf <method>` (csrc/baseline_cdae.cpp)."""
+            mf_kw = dict(learn_rate=args.lr, num_dim=args.dim,
+                         num_neg=args.num_neg, batch_size=64)
+            if method == "MF":
+                return IMF(MFConfig(loss="SQUARE", beta=1.0, lambda_=0.01,
+                                    **mf_kw))
+            if method == "BPR":
+                return BPR(MFConfig(loss="LOG", beta=1.0, lambda_=0.01,
+                                    **mf_kw))
+            if method == "WARP":  # ref warp.hpp:16 (lambda .1, no beta)
+                return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
+                                     **mf_kw))
+            if method == "FISM":
+                return FISM(FISMConfig(
+                    learn_rate=args.lr, num_dim=args.dim,
+                    num_neg=args.num_neg, batch_size=64, loss="SQUARE",
+                ))
+            if method == "NegMF":  # oracle: w_u+w_i+v·v, LOG, no mean term
+                return NegMF(FactorModelConfig(
+                    learn_rate=args.lr, num_dim=args.dim,
+                    num_neg=args.num_neg, batch_size=64, loss="LOG",
+                    using_global_mean=False,
+                ))
+            raise SystemExit(f"unknown model {method}")
+
+        for method in args.models:
             out = subprocess.run(
                 [exe, "parity_mf", method, tr_path, te_path,
                  str(args.iters), str(args.dim), str(args.num_neg),
@@ -66,11 +101,7 @@ def main() -> int:
             cpp = json.loads(out)
             print(f"# C++ {method}: {cpp}", file=sys.stderr)
 
-            model = cls(MFConfig(
-                learn_rate=args.lr, beta=1.0, lambda_=0.01,
-                num_dim=args.dim, num_neg=args.num_neg, batch_size=64,
-                **kw,
-            ))
+            model = build(method)
             solver_state = model.reset(train, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
             for _ in range(args.iters):
