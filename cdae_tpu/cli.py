@@ -89,7 +89,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default="",
                    help="path to write the final model checkpoint")
     p.add_argument("--init_checkpoint", default="",
-                   help="restore params before training/testing")
+                   help="restore params before training/testing; on the "
+                        "train task this is an exact resume (params + "
+                        "optimizer accumulators + PRNG stream)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="write --checkpoint every N iterations (exact-"
+                        "resume checkpoints; 0 = only at the end)")
     p.add_argument("--trace_dir", default="",
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--dense_mode", default="auto",
@@ -239,15 +244,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         solver.learn_rate0 = args.learn_rate
 
     if args.task == "train":
-        if args.init_checkpoint:
-            solver.state = model.reset(train, seed=args.seed)
-            ckpt.load_checkpoint(args.init_checkpoint, solver.state)
-            logger.info("restored %s (step %d)", args.init_checkpoint,
-                        solver.state.step)
-        solver.train(train, test, eval_types)
+        solver.train(
+            train, test, eval_types,
+            resume_from=args.init_checkpoint or None,
+            checkpoint_path=args.checkpoint or None,
+            checkpoint_every=args.checkpoint_every,
+        )
         if args.checkpoint:
-            ckpt.save_checkpoint(args.checkpoint, solver.state,
-                                 extra={"method": args.method})
             logger.info("checkpoint -> %s", args.checkpoint)
     else:
         solver.state = model.reset(train, seed=args.seed)

@@ -63,6 +63,9 @@ class Solver:
     def train_one_iteration(self, train_data: Interactions, rng_key):
         self.state = self.model.train_one_iteration(self.state, rng_key)
 
+    def post_resume(self, start_iteration: int, train_data) -> None:
+        """Hook: realign any solver-side schedule state after a resume."""
+
     def _log(self, msg: str) -> None:
         if self.verbose and jax.process_index() == 0:
             logger.info(msg)
@@ -92,14 +95,49 @@ class Solver:
         train_data: Interactions,
         validation_data: Optional[Interactions] = None,
         eval_types: Sequence = (),
+        resume_from: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
     ):
-        """The reference training loop (solver-inl.hpp:5-79)."""
+        """The reference training loop (solver-inl.hpp:5-79).
+
+        TPU-build superset: ``resume_from`` restores an exact-resume
+        checkpoint (params + optimizer accumulators + step + the solver's
+        PRNG stream value), after which the run is bitwise-identical to an
+        unbroken one; ``checkpoint_path``/``checkpoint_every`` write such
+        checkpoints mid-run (and at the end when a path is given).
+        """
+        from cdae_tpu.utils import checkpoint as ckpt
+
         evaluations = [Evaluation.create(t) for t in eval_types]
         self.history = []
 
         self.state = self.model.reset(train_data, seed=self.seed)
         self.pre_train(train_data, validation_data)
         rng = jax.random.PRNGKey(self.seed)
+        start_iteration = 0
+        fingerprint = ckpt.config_fingerprint(self.model, self.state)
+        if resume_from:
+            ckpt.load_checkpoint(resume_from, self.state,
+                                 expect_fingerprint=fingerprint)
+            saved_rng = ckpt.checkpoint_rng_key(resume_from)
+            if saved_rng is not None:
+                rng = saved_rng
+            start_iteration = self.state.step
+            self.post_resume(start_iteration, train_data)
+            self._log(
+                f"resumed {resume_from} at iteration {start_iteration}"
+                + ("" if saved_rng is not None
+                   else " (no rng in checkpoint: stream restarts)")
+            )
+
+        def write_ckpt():
+            if checkpoint_path:
+                ckpt.save_checkpoint(
+                    checkpoint_path, self.state,
+                    extra={"model": type(self.model).__name__},
+                    rng_key=rng, fingerprint=fingerprint,
+                )
 
         t = Timer()
         self._log("-" * 110)
@@ -111,11 +149,12 @@ class Solver:
         self._log(header)
 
         train_loss = 0.0
-        self._eval_row(0, t, train_loss, evaluations, validation_data, train_data)
+        self._eval_row(start_iteration, t, train_loss, evaluations,
+                       validation_data, train_data)
 
         from cdae_tpu.utils.profiling import trace
 
-        iteration = 0
+        iteration = start_iteration
         with trace(self.trace_dir):
             while iteration < self.max_iteration:
                 rng, sub = jax.random.split(rng)
@@ -127,6 +166,9 @@ class Solver:
                         iteration, t, train_loss, evaluations,
                         validation_data, train_data,
                     )
+                if checkpoint_every and iteration % checkpoint_every == 0:
+                    write_ckpt()
+        write_ckpt()
         self._log("-" * 110)
         return self.state
 
@@ -181,6 +223,15 @@ class SGDSolver(Solver):
     def train_one_iteration(self, train_data, rng_key):
         super().train_one_iteration(train_data, rng_key)
         self._steps += len(train_data)
+        self._apply_schedule()
+
+    def post_resume(self, start_iteration: int, train_data) -> None:
+        # the inverse-time schedule depends only on total instance count —
+        # replay it so a resumed run sees the same lr as an unbroken one
+        self._steps = start_iteration * len(train_data)
+        self._apply_schedule()
+
+    def _apply_schedule(self) -> None:
         if (
             self.adaptive
             and self.learn_rate0 is not None

@@ -24,11 +24,43 @@ import numpy as np
 
 from cdae_tpu.models.base import ModelState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def save_checkpoint(path: str, state: ModelState, extra: Optional[dict] = None):
-    """Atomically persist a ModelState's params + step to ``path``."""
+def config_fingerprint(model, state: ModelState) -> str:
+    """Stable hash of (model class, config dataclass, data dims).
+
+    Stored in every checkpoint manifest and verified on load so a resumed
+    run cannot silently continue under a different configuration — a
+    failure mode the reference cannot have (it never checkpoints models,
+    ref src/base/io/serialize.hpp:16-46) but a restartable trainer must
+    detect.
+    """
+    import dataclasses
+    import hashlib
+
+    cfg = getattr(model, "cfg", None)
+    payload = {
+        "model": type(model).__name__,
+        "config": dataclasses.asdict(cfg)
+        if cfg is not None and dataclasses.is_dataclass(cfg)
+        else repr(cfg),
+        "num_users": state.num_users,
+        "num_items": state.num_items,
+    }
+    blob = json.dumps(payload, sort_keys=True, default=repr).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def save_checkpoint(path: str, state: ModelState, extra: Optional[dict] = None,
+                    rng_key=None, fingerprint: Optional[str] = None):
+    """Atomically persist a ModelState's params + step to ``path``.
+
+    ``rng_key`` (the solver's PRNG stream value entering step+1) and
+    ``fingerprint`` (config_fingerprint) make the checkpoint exactly
+    resumable: restarting from it replays the identical key sequence the
+    unbroken run would have used.
+    """
     if jax.process_index() != 0:
         return
     arrays = {k: np.asarray(v) for k, v in state.params.items()}
@@ -40,6 +72,10 @@ def save_checkpoint(path: str, state: ModelState, extra: Optional[dict] = None):
         "param_names": sorted(arrays),
         "extra": extra or {},
     }
+    if rng_key is not None:
+        manifest["rng_key"] = np.asarray(rng_key).tolist()
+    if fingerprint is not None:
+        manifest["fingerprint"] = fingerprint
     buf = io.BytesIO()
     np.savez_compressed(buf, **arrays)
     d = os.path.dirname(os.path.abspath(path)) or "."
@@ -56,16 +92,27 @@ def save_checkpoint(path: str, state: ModelState, extra: Optional[dict] = None):
             os.unlink(tmp)
 
 
-def load_checkpoint(path: str, state: ModelState) -> ModelState:
+def load_checkpoint(path: str, state: ModelState,
+                    expect_fingerprint: Optional[str] = None) -> ModelState:
     """Restore params + step into an existing (reset) ModelState.
 
     The state must come from ``model.reset`` on the same data so that
-    non-array fields (padded views, aux) are already in place.
+    non-array fields (padded views, aux) are already in place. When both
+    ``expect_fingerprint`` and the stored fingerprint are present they
+    must match — a config/model/data mismatch raises instead of silently
+    training a different experiment.
     """
     import jax.numpy as jnp
 
     with zipfile.ZipFile(path, "r") as zf:
         manifest = json.loads(zf.read("manifest.json"))
+        stored_fp = manifest.get("fingerprint")
+        if expect_fingerprint and stored_fp and stored_fp != expect_fingerprint:
+            raise ValueError(
+                f"checkpoint fingerprint {stored_fp} does not match the "
+                f"current model/config/data ({expect_fingerprint}); refusing "
+                "to resume a different experiment"
+            )
         arrs = np.load(io.BytesIO(zf.read("arrays.npz")))
         if manifest["num_users"] != state.num_users or (
             manifest["num_items"] != state.num_items
@@ -86,6 +133,20 @@ def load_checkpoint(path: str, state: ModelState) -> ModelState:
 def checkpoint_extra(path: str) -> dict:
     with zipfile.ZipFile(path, "r") as zf:
         return json.loads(zf.read("manifest.json"))["extra"]
+
+
+def checkpoint_manifest(path: str) -> dict:
+    """Full manifest (step, dims, rng_key, fingerprint, extra)."""
+    with zipfile.ZipFile(path, "r") as zf:
+        return json.loads(zf.read("manifest.json"))
+
+
+def checkpoint_rng_key(path: str):
+    """The solver PRNG stream value stored at save time (or None)."""
+    import jax.numpy as jnp
+
+    key = checkpoint_manifest(path).get("rng_key")
+    return None if key is None else jnp.asarray(np.asarray(key, np.uint32))
 
 
 # ---------------------------------------------------------------- sharded ---
