@@ -57,8 +57,53 @@ def lowrank_interactions(
     )
 
 
+def lowrank_rated(
+    num_users: int,
+    num_items: int,
+    avg_degree: int,
+    rank: int = 8,
+    seed: int = 20141119,
+) -> Interactions:
+    """Rated variant of `lowrank_interactions`: each sampled (u, i) carries a
+    1..5 rating tied to the same low-rank affinity that drove the sampling,
+    standardized per user so roughly a third of ratings clear the RANKING
+    evaluator's rel >= 4 threshold (ref evaluation.hpp:330-357)."""
+    data = lowrank_interactions(num_users, num_items, avg_degree,
+                                rank=rank, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    uf = rng.standard_normal((num_users, rank)).astype(np.float32)
+    vf = rng.standard_normal((num_items, rank)).astype(np.float32)
+    aff = np.einsum("ur,ur->u", uf[data.users], vf[data.items]) / np.sqrt(rank)
+    aff = aff + 0.35 * rng.standard_normal(len(aff)).astype(np.float32)
+    # per-user standardization -> quantile-ish buckets over N(0,1)
+    order = np.argsort(data.users, kind="stable")
+    mean = np.zeros(num_users, np.float32)
+    std = np.ones(num_users, np.float32)
+    np.add.at(mean, data.users, aff)
+    cnt = np.bincount(data.users, minlength=num_users).astype(np.float32)
+    mean /= np.maximum(cnt, 1)
+    var = np.zeros(num_users, np.float32)
+    np.add.at(var, data.users, (aff - mean[data.users]) ** 2)
+    std = np.sqrt(var / np.maximum(cnt, 1) + 1e-6)
+    z = (aff - mean[data.users]) / std[data.users]
+    del order
+    edges = np.array([-1.1, -0.4, 0.25, 0.95], np.float32)  # 1..5 buckets
+    ratings = (1.0 + np.searchsorted(edges, z)).astype(np.float32)
+    return Interactions.from_arrays(
+        data.users, data.items, ratings,
+        num_users=num_users, num_items=num_items,
+    )
+
+
 def write_pairs(path: str, data: Interactions) -> None:
     """Write `user item` integer-id lines (the C++ parity tool's input)."""
     with open(path, "w") as f:
         for u, i in zip(data.users, data.items):
             f.write(f"{u} {i}\n")
+
+
+def write_triples(path: str, data: Interactions) -> None:
+    """Write `user item rating` lines (the C++ RANKING parity input)."""
+    with open(path, "w") as f:
+        for u, i, r in zip(data.users, data.items, data.ratings):
+            f.write(f"{u} {i} {r:g}\n")

@@ -50,19 +50,62 @@ def matmul_scatter_add(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int,
     return out[:, 0] if squeeze else out
 
 
+def sort_segment_add(idx: jnp.ndarray, vals: jnp.ndarray,
+                     num_rows: int) -> jnp.ndarray:
+    """Row-aggregation with NO P·N term: O(P log P + P·D + N·D).
+
+    TPU scatters serialize per index and the one-hot matmul pays 2·P·N·128
+    MXU FLOPs (output lanes padded to 128); both are quadratic-ish for the
+    pairwise models. This path is all parallel primitives:
+
+      1. argsort idx (bitonic, vectorized on TPU)
+      2. gather vals into sorted order              (gathers DON'T serialize)
+      3. running cumsum over the sorted rows (log P passes)
+      4. out[n] = cumsum[end_n] − cumsum[start_n]   (two searchsorted + gathers)
+
+    Accuracy note: the cumsum-difference telescopes; each output row's error
+    is bounded by the rounding of the global prefix at its boundaries
+    (~eps·Σ|vals| relative to the prefix magnitude). For AdaGrad gradient
+    magnitudes this matches the scatter path to ~1e-6 absolute (tested).
+
+    idx: (P,) int32; entries >= num_rows (sentinels) fall off the end and
+    contribute nothing. vals: (P,) or (P, D).
+    """
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    P = idx.shape[0]
+    order = jnp.argsort(idx)
+    sk = idx[order]
+    sv = vals[order]
+    csum = jnp.cumsum(sv, axis=0)
+    # prefix[k] = sum of sv[:k]; out[n] = prefix[hi_n] - prefix[lo_n]
+    prefix = jnp.concatenate([jnp.zeros((1, sv.shape[1]), sv.dtype), csum], 0)
+    rows = jax.lax.iota(jnp.int32, num_rows)
+    lo = jnp.searchsorted(sk, rows, side="left")
+    hi = jnp.searchsorted(sk, rows, side="right")
+    out = prefix[hi] - prefix[lo]
+    return out[:, 0] if squeeze else out
+
+
 def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
                      *, mode: str = "auto") -> jnp.ndarray:
-    """base.at[idx].add(vals), strategy-selected (mode: auto|matmul|scatter).
+    """base.at[idx].add(vals), strategy-selected
+    (mode: auto|matmul|sort|scatter).
 
-    Replaces the serialized TPU scatter with `matmul_scatter_add` whenever
-    the matmul's FLOP cost is within budget (always, for MF-family shapes).
+    "matmul" routes through the MXU (one-hot dot); "sort" through
+    argsort+cumsum segment aggregation (no P·N cost — the fast path for
+    the pairwise models' large P); "scatter" is the native serialized op.
+    "auto" picks matmul while its FLOP cost is in budget, else sort.
     """
     if mode == "scatter":
         return base.at[idx].add(vals)
     num_rows = base.shape[0]
+    if mode == "sort":
+        return base + sort_segment_add(idx, vals, num_rows)
     d = 1 if vals.ndim == 1 else vals.shape[-1]
     if mode == "matmul" or (
         idx.shape[0] * num_rows * d * 2.0 <= _MATMUL_FLOP_LIMIT
     ):
         return base + matmul_scatter_add(idx, vals, num_rows)
-    return base.at[idx].add(vals)
+    return base + sort_segment_add(idx, vals, num_rows)

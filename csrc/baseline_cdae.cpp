@@ -33,6 +33,7 @@
 #include <random>
 #include <string>
 #include <type_traits>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
@@ -901,11 +902,133 @@ int run_parity_mf(int argc, char** argv) {
   return 0;
 }
 
+bool read_triples(const char* path,
+                  std::vector<std::vector<std::pair<int, float>>>& rated,
+                  size_t& num_users, size_t& num_items) {
+  std::ifstream f(path);
+  if (!f) return false;
+  size_t u, i;
+  float r;
+  while (f >> u >> i >> r) {
+    if (u >= rated.size()) rated.resize(u + 1);
+    rated[u].push_back({(int)i, r});
+    num_users = std::max(num_users, u + 1);
+    num_items = std::max(num_items, i + 1);
+  }
+  return true;
+}
+
+// RANKING list scoring — the reference's exact math
+// (ref evaluation.hpp:309-361): 2^rel-1 gains, NATURAL-log discount,
+// IDCG from the sorted ground truth, rel >= 4 counts a Prec/Recall/MAP hit.
+std::vector<double> ranking_rec_list(
+    const std::vector<int>& list,
+    const std::vector<std::pair<int, float>>& truth) {
+  std::vector<double> rets(8, 0.);
+  std::vector<std::pair<int, float>> gt(truth);
+  std::sort(gt.begin(), gt.end(),
+            [](auto& a, auto& b) { return a.second > b.second; });
+  std::unordered_map<int, float> map;
+  for (auto& p : truth) map[p.first] = p.second;
+
+  double DCG5 = 0, DCG10 = 0, IDCG5 = 0, IDCG10 = 0;
+  double hit5 = 0, hit10 = 0, map5 = 0, map10 = 0;
+  for (size_t idx = 0; idx < 10; ++idx) {
+    if (idx < gt.size()) {
+      double ig = (std::pow(2., (double)gt[idx].second) - 1.) /
+                  std::log(idx + 2.);
+      if (idx < 5) IDCG5 += ig;
+      IDCG10 += ig;
+    }
+    if (idx >= list.size()) continue;
+    auto it = map.find(list[idx]);
+    if (it != map.end()) {
+      double g = (std::pow(2., (double)it->second) - 1.) / std::log(idx + 2.);
+      if (idx < 5) DCG5 += g;
+      DCG10 += g;
+      if (it->second >= 4.f) {
+        if (idx < 5) {
+          hit5 += 1.;
+          map5 += hit5 / (idx + 1.);
+        }
+        hit10 += 1.;
+        map10 += hit10 / (idx + 1.);
+      }
+    }
+  }
+  rets[0] = IDCG5 > 0 ? DCG5 / IDCG5 : 0.;
+  rets[1] = IDCG10 > 0 ? DCG10 / IDCG10 : 0.;
+  rets[2] = hit5 / 5.;
+  rets[3] = hit10 / 10.;
+  int num_rels = (int)std::count_if(
+      truth.begin(), truth.end(),
+      [](const std::pair<int, float>& v) { return v.second >= 4.f; });
+  if (num_rels > 0) {
+    rets[4] = hit5 / num_rels;
+    rets[5] = hit10 / num_rels;
+    rets[6] = map5 / std::min(5., (double)truth.size());
+    rets[7] = map10 / std::min(10., (double)truth.size());
+  }
+  return rets;
+}
+
+// parity_ranking train.txt test.txt [iters dim lr] — PMF (rating MF,
+// ref pmf.hpp:80-109: per-instance AdaGrad SGD on observed ratings, SQUARE
+// loss) trained sequentially, then the RANKING evaluator over val users
+// (ref evaluation.hpp:223-361; rec list excludes train items).
+int run_parity_ranking(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_ranking train.txt test.txt "
+                 "[iters dim lr]\n");
+    return 2;
+  }
+  size_t iters = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 30;
+  size_t D = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 10;
+  float lr = argc > 6 ? std::strtof(argv[6], nullptr) : 0.1f;
+
+  std::vector<std::vector<std::pair<int, float>>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_triples(argv[2], train, U, I)) return 3;
+  if (!read_triples(argv[3], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+
+  MFModel m(U, I, D, lr, 1.f, 0.01f, 0);
+  for (size_t it = 0; it < iters; ++it)
+    for (size_t u = 0; u < U; ++u)
+      for (auto& p : train[u]) m.imf_step(u, (size_t)p.first, p.second);
+
+  std::vector<double> sums(8, 0.);
+  size_t val_users = 0;
+  for (size_t u = 0; u < U; ++u) {
+    if (test[u].empty()) continue;
+    ++val_users;
+    std::vector<int> rated;
+    rated.reserve(train[u].size());
+    for (auto& p : train[u]) rated.push_back(p.first);
+    auto rec = m.recommend(u, rated, 10);
+    auto rets = ranking_rec_list(rec, test[u]);
+    for (size_t k = 0; k < 8; ++k) sums[k] += rets[k];
+  }
+  std::printf(
+      "{\"ndcg_at_5\": %.5f, \"ndcg_at_10\": %.5f, \"prec_at_5\": %.5f, "
+      "\"prec_at_10\": %.5f, \"recall_at_5\": %.5f, \"recall_at_10\": %.5f, "
+      "\"map_at_5\": %.5f, \"map_at_10\": %.5f, \"val_users\": %zu, "
+      "\"iters\": %zu, \"dim\": %zu}\n",
+      sums[0] / val_users, sums[1] / val_users, sums[2] / val_users,
+      sums[3] / val_users, sums[4] / val_users, sums[5] / val_users,
+      sums[6] / val_users, sums[7] / val_users, val_users, iters, D);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
   if (argc > 1 && std::strcmp(argv[1], "parity") == 0)
     return run_parity(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_ranking") == 0)
+    return run_parity_ranking(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "parity_mf") == 0)
     return run_parity_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)

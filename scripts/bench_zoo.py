@@ -94,8 +94,8 @@ def main():
         while time.perf_counter() - t0 < args.seconds and epochs < 500:
             key, sub = jax.random.split(key)
             state = model.train_one_iteration(state, sub)
+            checksum(state)  # forced readback: async dispatch can't pile up
             epochs += 1
-        checksum(state)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "model": name, "users_per_sec": round(args.users * epochs / dt, 1),
