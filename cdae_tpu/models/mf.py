@@ -475,43 +475,60 @@ class IMF(_MFBase):
 def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
                     update_bias=True):
     """BPR/WARP pair update contributions (ref bpr.hpp:72-106,
-    warp.hpp:90-117): g = loss'(s(u,i)−s(u,j), 1) [·rank_weight]."""
+    warp.hpp:90-117): g = loss'(s(u,i)−s(u,j), 1) [·rank_weight].
+
+    Shapes exploit the pair structure: u, i are (B,) and each pairs with
+    nn negatives j (B, nn) [weights w / rank_weight (B, nn)]. The u- and
+    i-side contributions of a row's nn pairs sum in registers (a reshape
+    away — per-touch 2λ terms included per pair, exactly the reference's
+    per-pair accumulation), so the expensive row-aggregation only sees
+      u-side:  B rows    i-side: B rows    j-side: B·nn rows
+    instead of B·nn everywhere — ~4x less scatter work at num_neg=5.
+    Bias gradients ride the SAME aggregation as extra value columns."""
     lam2 = 2.0 * cfg.lambda_
     uv_u, iv_i, iv_j = params["uv"][u], params["iv"][i], params["iv"][j]
+    ib_i, ib_j = params["ib"][i], params["ib"][j]
     pred = (
-        params["ib"][i] - params["ib"][j]
-        + jnp.sum(uv_u * (iv_i - iv_j), axis=-1)
-    )
+        ib_i[:, None] - ib_j
+        + jnp.sum(uv_u[:, None, :] * (iv_i[:, None, :] - iv_j), axis=-1)
+    )  # (B, nn)
     g = loss.gradient(pred, 1.0) * w
     if rank_weight is not None:
         g = g * rank_weight
     sm = cfg.scatter_mode
-    # i- and j-side contributions ride ONE one-hot matmul over the stacked
-    # (2P,) index vector (ops/scatter.py replaces the serialized scatter)
-    ij = jnp.concatenate([i, j])
-    iv_vals = jnp.concatenate(
-        [
-            g[:, None] * uv_u + (lam2 * iv_i) * w[:, None],
-            -g[:, None] * uv_u + (lam2 * iv_j) * w[:, None],
-        ]
+    gsum = jnp.sum(g, axis=1)  # (B,)
+    wsum = jnp.sum(w, axis=1)
+    d_uv_rows = (
+        jnp.sum(g[..., None] * (iv_i[:, None, :] - iv_j), axis=1)
+        + (lam2 * uv_u) * wsum[:, None]
+    )
+    pos_vals = gsum[:, None] * uv_u + (lam2 * iv_i) * wsum[:, None]  # (B, D)
+    neg_vals = (
+        -g[..., None] * uv_u[:, None, :] + (lam2 * iv_j) * w[..., None]
+    )  # (B, nn, D)
+    with_bias = update_bias and cfg.using_bias_term
+    if with_bias:
+        pos_vals = jnp.concatenate(
+            [pos_vals, (gsum + lam2 * ib_i * wsum)[:, None]], axis=1
+        )
+        neg_vals = jnp.concatenate(
+            [neg_vals, (-g + lam2 * ib_j * w)[..., None]], axis=2
+        )
+    D = params["uv"].shape[1]
+    I = params["iv"].shape[0]
+    acc = jnp.zeros((I, pos_vals.shape[-1]), pos_vals.dtype)
+    acc = scatter_add_rows(acc, i, pos_vals, mode=sm)
+    acc = scatter_add_rows(
+        acc, j.reshape(-1), neg_vals.reshape(-1, neg_vals.shape[-1]), mode=sm
     )
     grads = {
         "uv": scatter_add_rows(
-            jnp.zeros_like(params["uv"]), u,
-            g[:, None] * (iv_i - iv_j) + (lam2 * uv_u) * w[:, None],
-            mode=sm,
+            jnp.zeros_like(params["uv"]), u, d_uv_rows, mode=sm
         ),
-        "iv": scatter_add_rows(
-            jnp.zeros_like(params["iv"]), ij, iv_vals, mode=sm
-        ),
+        "iv": acc[:, :D],
     }
-    if update_bias and cfg.using_bias_term:
-        ib_vals = jnp.concatenate(
-            [g + lam2 * params["ib"][i] * w, -g + lam2 * params["ib"][j] * w]
-        )
-        grads["ib"] = scatter_add_rows(
-            jnp.zeros_like(params["ib"]), ij, ib_vals, mode=sm
-        )
+    if with_bias:
+        grads["ib"] = acc[:, D]
     return grads
 
 
@@ -531,15 +548,11 @@ class BPR(_MFBase):
         I = params["iv"].shape[0]
         nn = max(cfg.num_neg, 1)
         neg = sampling.sample_unrated(key, rated, lengths, I, nn)  # (B,nn)
-        B = u.shape[0]
-        all_u = jnp.tile(u[:, None], (1, nn)).reshape(-1)
-        all_i = jnp.tile(i[:, None], (1, nn)).reshape(-1)
-        all_j = jnp.clip(neg, 0, I - 1).reshape(-1)
         # sentinel id I = empty complement -> zero-weight those pairs
-        all_w = (
-            jnp.tile(w[:, None], (1, nn)) * (neg < I).astype(w.dtype)
-        ).reshape(-1)
-        grads = _pairwise_grads(params, all_u, all_i, all_j, all_w, cfg, loss)
+        pair_w = w[:, None] * (neg < I).astype(w.dtype)
+        grads = _pairwise_grads(
+            params, u, i, jnp.clip(neg, 0, I - 1), pair_w, cfg, loss
+        )
         return _adagrad_apply(params, grads, cfg)
 
 
@@ -586,16 +599,9 @@ class WARP(_MFBase):
         # rank-weight table lookup l_[items_left / cnt] (ref warp.hpp:84)
         l_tab = _warp_harmonic(I)
         rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]  # (B,nn)
-        pair_w = (w[:, None] * found).reshape(-1)
+        pair_w = w[:, None] * found  # (B, nn)
         grads = _pairwise_grads(
-            params,
-            jnp.tile(u[:, None], (1, nn)).reshape(-1),
-            jnp.tile(i[:, None], (1, nn)).reshape(-1),
-            j.reshape(-1),
-            pair_w,
-            cfg,
-            loss,
-            rank_weight=rw.reshape(-1),
+            params, u, i, j, pair_w, cfg, loss, rank_weight=rw,
             update_bias=False,  # ref warp.hpp:90-117 bias updates commented out
         )
         return _adagrad_apply(params, grads, cfg)

@@ -368,3 +368,92 @@ def streaming_topk_scores(
     )
     (vals, ids), _ = jax.lax.scan(body, init, jnp.arange(nblk))
     return ids, vals
+
+
+# ------------------------------------------- scatter as one-hot MXU tiles ---
+
+def _scatter_mm_kernel(idx_ref, vals_ref, out_ref, *, block_n: int):
+    """One (block_n, D) output tile accumulating over P tiles.
+
+    Generates the one-hot tile (block_p, block_n) IN VMEM from an iota
+    compare — the (P, N) one-hot of the XLA formulation (ops/scatter.py
+    matmul_scatter_add) never exists in HBM, which removes the HBM
+    bandwidth wall measured at ~3.8 ms/batch for the pairwise models.
+    bf16 operands (one-hot is exact in bf16), f32 accumulation.
+    """
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx_tile = idx_ref[:, 0]  # (block_p,)
+    n0 = pl.program_id(0) * block_n
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (idx_tile.shape[0], block_n), 1
+    ) + n0
+    # one-hot in the vals dtype: 0/1 are exact in bf16; a bf16 one-hot
+    # against f32 vals would silently downcast the contributions (measured
+    # 0.03 abs err) — match operand dtypes instead
+    oh = (idx_tile[:, None] == col).astype(vals_ref.dtype)
+    out_ref[:] += jax.lax.dot_general(
+        oh, vals_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def scatter_matmul(
+    idx: jnp.ndarray,
+    vals: jnp.ndarray,
+    num_rows: int,
+    block_p: int = 1024,
+    block_n: int = 512,
+    vals_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """out[n] = Σ_{p: idx[p]==n} vals[p] on the MXU, one-hot tiles in VMEM.
+
+    The TPU-native row-aggregation primitive behind the pairwise model
+    family (BPR/WARP pair grads, ref bpr.hpp:72-106, warp.hpp:90-117):
+    TPU scatters serialize per index and the XLA one-hot matmul pays
+    (P, N)·f32 of HBM traffic; this kernel pays only vals + out traffic.
+
+    idx: (P,) int32; entries outside [0, num_rows) contribute nothing.
+    vals: (P,) or (P, D) f32. Returns (num_rows,[ D]) f32.
+    vals_dtype: MXU operand type for vals (bf16 default: ~0.4% per-element
+    rounding on gradient contributions — metric-parity validated; pass
+    jnp.float32 for exact contributions at ~4x the MXU cost).
+    """
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    P, D = vals.shape
+    Dp = _round_up(max(D, 1), 128)
+    Pp = _round_up(max(P, 1), block_p)
+    Np = _round_up(max(num_rows, 1), block_n)
+    idx_p = jnp.pad(idx.astype(jnp.int32), (0, Pp - P),
+                    constant_values=jnp.int32(-1))[:, None]
+    vals_p = jnp.pad(vals, ((0, Pp - P), (0, Dp - D))).astype(vals_dtype)
+
+    grid = (Np // block_n, Pp // block_p)
+    out = pl.pallas_call(
+        functools.partial(_scatter_mm_kernel, block_n=block_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_p, 1), lambda n, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, Dp), lambda n, p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, Dp), lambda n, p: (n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Dp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Pp * Np * Dp,
+            bytes_accessed=Pp * (4 + 2 * Dp) + Np * Dp * 4,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(idx_p, vals_p)
+    out = out[:num_rows, :D]
+    return out[:, 0] if squeeze else out

@@ -44,5 +44,28 @@ def sample_unrated(
     valid = pos < lengths[:, None]
     ranks = jnp.where(valid, sorted_items - pos, num_items)
     # k = number of rated ids skipped before reaching the u-th unrated id
-    k = jax.vmap(jnp.searchsorted, in_axes=(0, 0, None))(ranks, u, "right")
+    # = #{j : ranks[j] <= u}. ranks is already materialized, so count via a
+    # fused compare+reduce on the VPU (B·L·S ops) instead of a vmapped
+    # searchsorted — the binary-search while_loop serializes on TPU
+    # (measured 3.8 ms/batch at (4096, 1041) for S=5, 37 s/epoch for
+    # WARP's S=320, vs ~0.1-2 ms for the reduce). Chunk S to bound the
+    # (B, L, chunk) fusion working set.
+    chunk = 32
+    if num_samples <= chunk:
+        k = jnp.sum(
+            (ranks[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
+        )
+    else:
+        S_pad = -(-num_samples // chunk) * chunk
+        u_p = jnp.pad(u, ((0, 0), (0, S_pad - num_samples)))
+        u_c = u_p.reshape(B, S_pad // chunk, chunk)
+
+        def body(_, uc):
+            return None, jnp.sum(
+                (ranks[:, :, None] <= uc[:, None, :]).astype(jnp.int32),
+                axis=1,
+            )
+
+        _, k_c = jax.lax.scan(body, None, jnp.moveaxis(u_c, 1, 0))
+        k = jnp.moveaxis(k_c, 0, 1).reshape(B, S_pad)[:, :num_samples]
     return (u + k).astype(jnp.int32)

@@ -91,18 +91,28 @@ def sort_segment_add(idx: jnp.ndarray, vals: jnp.ndarray,
 def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
                      *, mode: str = "auto") -> jnp.ndarray:
     """base.at[idx].add(vals), strategy-selected
-    (mode: auto|matmul|sort|scatter).
+    (mode: auto|pallas|matmul|sort|scatter).
 
-    "matmul" routes through the MXU (one-hot dot); "sort" through
-    argsort+cumsum segment aggregation (no P·N cost — the fast path for
-    the pairwise models' large P); "scatter" is the native serialized op.
-    "auto" picks matmul while its FLOP cost is in budget, else sort.
+    "pallas" generates the one-hot tiles in VMEM (ops/pallas_kernels.
+    scatter_matmul — no HBM traffic for the (P, N) one-hot); "matmul" is
+    the XLA one-hot dot; "sort" argsort+cumsum segment aggregation (no
+    P·N cost but TPU sort-bound); "scatter" the native serialized op.
+    "auto" picks pallas on TPU, else matmul while its FLOP cost is in
+    budget, else sort.
     """
     if mode == "scatter":
         return base.at[idx].add(vals)
     num_rows = base.shape[0]
     if mode == "sort":
         return base + sort_segment_add(idx, vals, num_rows)
+    if mode == "pallas" or (mode == "auto"
+                            and jax.default_backend() == "tpu"):
+        from cdae_tpu.ops.pallas_kernels import scatter_matmul
+
+        # exact f32 contributions (bf16 operands are opt-in via
+        # scatter_matmul directly until a parity run records the delta)
+        return base + scatter_matmul(idx, vals, num_rows,
+                                     vals_dtype=vals.dtype)
     d = 1 if vals.ndim == 1 else vals.shape[-1]
     if mode == "matmul" or (
         idx.shape[0] * num_rows * d * 2.0 <= _MATMUL_FLOP_LIMIT

@@ -81,7 +81,7 @@ def main():
 
         def checksum(s):
             p = s.params
-            arr = p.get("iv", p.get("q"))
+            arr = p.get("iv", p.get("Q", p.get("P")))
             return float(jnp.sum(arr))
 
         # warmup (compile)
