@@ -210,7 +210,8 @@ class _MFBase(RecsysModel):
         step = functools.partial(self._step, cfg=self.cfg, loss=self.loss)
         bs = self.cfg.batch_size
 
-        def epoch(params, users, items, ratings, pad_items, pad_lengths, key):
+        def epoch(params, users, items, ratings, pad_items, pad_lengths, key,
+                  *extras):
             n = users.shape[0]
             kperm, kstep = jax.random.split(key)
             perm = jax.random.permutation(kperm, n)
@@ -232,6 +233,8 @@ class _MFBase(RecsysModel):
                 params = step(
                     params, u, items[sel], ratings[sel], w,
                     pad_items[u], pad_lengths[u], sub,
+                    *[e[u] for e in extras],  # per-user aux rows (e.g. the
+                    # dense rated mask WARP's violator counting needs)
                 )
                 return (params, key), None
 
@@ -240,6 +243,11 @@ class _MFBase(RecsysModel):
             return params
 
         return jax.jit(epoch, donate_argnums=(0,))
+
+    def _epoch_extras(self, state: ModelState) -> tuple:
+        """Per-user auxiliary device arrays threaded into _step (row-gathered
+        by user id inside the fused epoch). Default none."""
+        return ()
 
     def _device_data(self, state: ModelState):
         if "device_data" not in state.aux:
@@ -286,7 +294,7 @@ class _MFBase(RecsysModel):
         users, items, ratings, pad_items, pad_lengths = self._device_data(state)
         state.params = self._jit_epoch(
             state.params, users, items, ratings, pad_items, pad_lengths,
-            rng_key,
+            rng_key, *self._epoch_extras(state),
         )
         state.step += 1
         return state
@@ -559,9 +567,21 @@ class BPR(_MFBase):
 class WARP(_MFBase):
     """Weighted approximate-rank pairwise (ref warp.hpp). Default HINGE loss,
     beta=0, lambda=0.1 (WARPConfig warp.hpp:12-23). For each positive and
-    each of num_neg updates, scan ``num_tries`` candidate negatives and use
-    the FIRST violator (s(u,j) > s(u,i) − 1); the update is weighted by the
-    harmonic rank weight l[items_left / cnt] (ref warp.hpp:63-88)."""
+    each of num_neg updates, draw candidate negatives until the FIRST
+    violator (s(u,j) > s(u,i) − 1), capped at ``num_tries``; the update is
+    weighted by the harmonic rank weight l[items_left / cnt]
+    (ref warp.hpp:63-88).
+
+    Two equivalent step implementations:
+    - dense path (auto when the (U, I) rated mask fits HBM): computes the
+      full score row once, then samples (cnt, j) from the CLOSED FORM of
+      the rejection process — cnt ~ Geometric(p = |violators| / |unrated|)
+      truncated at num_tries, j uniform over violators via rank-select.
+      Distribution-identical to scanning i.i.d. complement draws, with no
+      num_tries factor in the cost.
+    - scan path (huge catalogs / no mask): materializes num_tries
+      candidates per slot and takes the first violator.
+    """
 
     name = "WARP"
 
@@ -572,8 +592,76 @@ class WARP(_MFBase):
             kw.setdefault("lambda_", 0.1)
         super().__init__(config, **kw)
 
+    def _epoch_extras(self, state: ModelState) -> tuple:
+        U, I = state.num_users, state.num_items
+        use_dense = self.cfg.dense_mode
+        if use_dense is None:
+            use_dense = U * I <= 1_500_000_000
+        if not use_dense:
+            return ()
+        if "rated_mask" not in state.aux:
+            users, items, _ = state.aux["coo"]
+            state.aux["rated_mask"] = (
+                jnp.zeros((U, I), jnp.int8)
+                .at[jnp.asarray(users), jnp.asarray(items)]
+                .set(1)
+            )
+        return (state.aux["rated_mask"],)
+
     @staticmethod
-    def _step(params, u, i, r, w, rated, lengths, key, *, cfg, loss):
+    def _step(params, u, i, r, w, rated, lengths, key, *extras, cfg, loss):
+        if extras:
+            return WARP._dense_path(
+                params, u, i, w, lengths, key, extras[0], cfg=cfg, loss=loss
+            )
+        return WARP._scan_path(
+            params, u, i, w, rated, lengths, key, cfg=cfg, loss=loss
+        )
+
+    @staticmethod
+    def _dense_path(params, u, i, w, lengths, key, mask_rows, *, cfg, loss):
+        I = params["iv"].shape[0]
+        B = u.shape[0]
+        nn = max(cfg.num_neg, 1)
+        T = max(cfg.num_tries, 1)
+        uv_u = params["uv"][u]  # (B, D)
+        scores = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
+        yui = jnp.take_along_axis(scores, i[:, None], axis=1)[:, 0]
+        unrated = mask_rows == 0  # (B, I) int8 view
+        viol = (scores > (yui[:, None] - 1.0)) & unrated
+        nviol = jnp.sum(viol.astype(jnp.int32), axis=1)  # (B,)
+        free = jnp.maximum(I - lengths, 1)
+        p = nviol.astype(jnp.float32) / free.astype(jnp.float32)
+        k1, k2 = jax.random.split(key)
+        # cnt ~ Geometric(p) truncated at T: first-success index of i.i.d.
+        # complement draws (exactly the rejection loop's try counter)
+        u1 = jax.random.uniform(k1, (B, nn), minval=1e-7, maxval=1.0)
+        log1mp = jnp.log1p(-jnp.clip(p, 0.0, 1.0 - 1e-7))[:, None]
+        cnt = 1 + jnp.floor(jnp.log(u1) / jnp.minimum(log1mp, -1e-12))
+        cnt = cnt.astype(jnp.int32)
+        found = (nviol[:, None] > 0) & (cnt <= T)
+        cnt = jnp.clip(cnt, 1, T)
+        # j uniform over violators: v-th violator via cumulative-count
+        # rank-select (compare+reduce, no serialized search)
+        v = jax.random.randint(k2, (B, nn), 0,
+                               jnp.maximum(nviol, 1)[:, None])
+        cumviol = jnp.cumsum(viol.astype(jnp.int32), axis=1)  # (B, I)
+        j = jnp.sum(
+            (cumviol[:, :, None] <= v[:, None, :]).astype(jnp.int32), axis=1
+        )  # (B, nn) index of the (v+1)-th violator
+        j = jnp.clip(j, 0, I - 1)
+        items_left = jnp.maximum(I - lengths, 1)
+        l_tab = _warp_harmonic(I)
+        rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]
+        pair_w = w[:, None] * found
+        grads = _pairwise_grads(
+            params, u, i, j, pair_w, cfg, loss, rank_weight=rw,
+            update_bias=False,  # ref warp.hpp:90-117 bias updates commented out
+        )
+        return _adagrad_apply(params, grads, cfg)
+
+    @staticmethod
+    def _scan_path(params, u, i, w, rated, lengths, key, *, cfg, loss):
         I = params["iv"].shape[0]
         B = u.shape[0]
         nn = max(cfg.num_neg, 1)

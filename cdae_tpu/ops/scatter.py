@@ -105,12 +105,18 @@ def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
     num_rows = base.shape[0]
     if mode == "sort":
         return base + sort_segment_add(idx, vals, num_rows)
+    if mode == "pallas_bf16":
+        from cdae_tpu.ops.pallas_kernels import scatter_matmul
+
+        # bf16 MXU operands, f32 accumulation: ~0.4% per-contribution
+        # rounding; recall parity vs the C++ oracle recorded in BASELINE.md
+        return base + scatter_matmul(idx, vals, num_rows)
     if mode == "pallas" or (mode == "auto"
                             and jax.default_backend() == "tpu"):
         from cdae_tpu.ops.pallas_kernels import scatter_matmul
 
         # exact f32 contributions (bf16 operands are opt-in via
-        # scatter_matmul directly until a parity run records the delta)
+        # mode='pallas_bf16')
         return base + scatter_matmul(idx, vals, num_rows,
                                      vals_dtype=vals.dtype)
     d = 1 if vals.ndim == 1 else vals.shape[-1]

@@ -28,6 +28,8 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--tolerance", type=float, default=0.03)
     ap.add_argument("--seed", type=int, default=20141119)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--scatter", default="auto")
     ap.add_argument("--models", nargs="*",
                     default=["MF", "BPR", "WARP", "FISM", "NegMF"])
     ap.add_argument("--platform", default=None,
@@ -68,7 +70,8 @@ def main() -> int:
             """TPU model with the same hyperparameters the C++ oracle
             hardcodes for `parity_mf <method>` (csrc/baseline_cdae.cpp)."""
             mf_kw = dict(learn_rate=args.lr, num_dim=args.dim,
-                         num_neg=args.num_neg, batch_size=64)
+                         num_neg=args.num_neg, batch_size=args.batch,
+                         scatter_mode=args.scatter)
             if method == "MF":
                 return IMF(MFConfig(loss="SQUARE", beta=1.0, lambda_=0.01,
                                     **mf_kw))
@@ -81,12 +84,12 @@ def main() -> int:
             if method == "FISM":
                 return FISM(FISMConfig(
                     learn_rate=args.lr, num_dim=args.dim,
-                    num_neg=args.num_neg, batch_size=64, loss="SQUARE",
+                    num_neg=args.num_neg, batch_size=args.batch, loss="SQUARE",
                 ))
             if method == "NegMF":  # oracle: w_u+w_i+v·v, LOG, no mean term
                 return NegMF(FactorModelConfig(
                     learn_rate=args.lr, num_dim=args.dim,
-                    num_neg=args.num_neg, batch_size=64, loss="LOG",
+                    num_neg=args.num_neg, batch_size=args.batch, loss="LOG",
                     using_global_mean=False,
                 ))
             raise SystemExit(f"unknown model {method}")
