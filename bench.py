@@ -143,11 +143,23 @@ def main():
     if users_per_sec is None:
         raise SystemExit("all bench attempts failed")
 
+    # --- MFU accounting (VERDICT r1 item 6) ---------------------------------
+    # Dense-mode CDAE model FLOPs: 5 (B,I)x(I,D)-class MXU matmuls per epoch
+    # pass (encode, decode, decode-grad, hidden-grad, encode-grad), i.e.
+    # ~10·U·I·D useful FLOPs per epoch. MFU is reported against the chip's
+    # bf16 peak (v5e: 197 TFLOP/s; override via BENCH_PEAK_TFLOPS) — the
+    # honest denominator for "distance to silicon" even while the compute
+    # dtype is f32 (see ROADMAP: XLA upcasts bf16 operands here).
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+    model_tflop_per_epoch = 10.0 * U * I * dim / 1e12
+    achieved_tflops = model_tflop_per_epoch * users_per_sec / U
     print(json.dumps({
         "metric": "cdae_train_users_per_sec",
         "value": round(users_per_sec, 1),
         "unit": "users/s",
         "vs_baseline": round(users_per_sec / baseline, 2),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_vs_bf16_peak": round(achieved_tflops / peak_tflops, 4),
     }))
 
 

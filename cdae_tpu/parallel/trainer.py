@@ -149,3 +149,99 @@ class ShardedCDAE(RecsysModel):
 
     def user_representations(self, state: CDAEState):
         return self.inner.user_representations(state)
+
+
+class ShardedIMF(RecsysModel):
+    """IMF trained over the ('data','model') mesh in dense full-catalog
+    mode — the MF-family counterpart of ShardedCDAE (ROADMAP r1 top Scale
+    item; ref algorithm imf.hpp:71-115, reformulated as sharded (B, I)
+    slabs whose matmuls partition over both axes, see
+    parallel/sharded.make_sharded_mf_dense_step).
+
+    Drop-in for Solver/Evaluation. Dense mode is mandatory: the sharded
+    step IS the dense-slab step (single-chip sparse IMF remains the
+    fallback for catalogs whose (U, I) slab cannot exist).
+    """
+
+    name = "ShardedIMF"
+
+    def __init__(self, config=None, mesh: Optional[Mesh] = None, **kw):
+        from cdae_tpu.models.mf import IMF, MFConfig
+
+        cfg = config if config is not None else MFConfig(**kw)
+        cfg = dataclasses.replace(cfg, dense_mode=True)
+        self.inner = IMF(cfg)
+        self.cfg = self.inner.cfg
+        self.loss = self.inner.loss
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._dense_step = None
+        self._scores = None
+
+    def reset(self, data: Interactions, seed: int = 0):
+        from cdae_tpu.models.mf import _mf_batch_scores
+        from cdae_tpu.parallel.mesh import mf_param_specs, shard_params
+        from cdae_tpu.parallel.sharded import make_sharded_mf_dense_step
+
+        state = self.inner.reset(data, seed)
+        if "dense_R" not in state.aux:
+            raise ValueError(
+                "ShardedIMF requires dense mode (U*I slab); use single-chip "
+                "IMF for catalogs beyond the dense budget"
+            )
+        specs = mf_param_specs(state.params)
+        state.params = shard_params(self.mesh, state.params, specs)
+        state.aux["dense_R"] = jax.device_put(
+            state.aux["dense_R"],
+            NamedSharding(self.mesh, P("data", "model")),
+        )
+        self._dense_step = make_sharded_mf_dense_step(
+            self.inner, self.mesh, state.params
+        )
+        self._scores = jax.jit(
+            _mf_batch_scores,
+            in_shardings=(
+                {k: NamedSharding(self.mesh, s) for k, s in specs.items()},
+                NamedSharding(self.mesh, P("data")),
+            ),
+            out_shardings=NamedSharding(self.mesh, P("data", "model")),
+        )
+        return state
+
+    def _sharded_dense_batches(self, state):
+        if "sharded_dense_batches" not in state.aux:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            uid_mat, w_mat = self.inner._dense_user_batches(state)
+            state.aux["sharded_dense_batches"] = (
+                jax.device_put(uid_mat, sh), jax.device_put(w_mat, sh),
+            )
+        return state.aux["sharded_dense_batches"]
+
+    def train_one_iteration(self, state, rng_key):
+        R = state.aux["dense_R"]
+        ratings = state.aux.get("dense_ratings", R)
+        uid_mat, w_mat = self._sharded_dense_batches(state)
+        params = state.params
+        for j in range(uid_mat.shape[0]):
+            rng_key, sub = jax.random.split(rng_key)
+            params = self._dense_step(
+                params, R, ratings, uid_mat[j], w_mat[j], sub
+            )
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self._scores(
+            state.params,
+            jax.device_put(np.asarray(uids, dtype=np.int32),
+                           NamedSharding(self.mesh, P("data"))),
+        )
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)

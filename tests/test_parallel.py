@@ -213,3 +213,38 @@ def test_sharded_mf_dense_step_matches_single_chip(mesh):
             np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
             err_msg=k,
         )
+
+
+def test_sharded_imf_trainer_end_to_end(mesh):
+    """ShardedIMF (ROADMAP r1 Scale item): Solver-driven training on the
+    mesh matches single-chip dense IMF bitwise at every step, and the
+    sharded scorer feeds the standard evaluator."""
+    from cdae_tpu.evaluation import Evaluation
+    from cdae_tpu.models.mf import IMF, MFConfig
+    from cdae_tpu.parallel.trainer import ShardedIMF
+
+    data = _tiny(num_users=48, num_items=64, seed=7)
+    train, test = data.split_by_user(0.25, seed=1)
+    cfg = MFConfig(num_dim=8, num_neg=3, batch_size=16, dense_mode=True,
+                   fast_rng=False)
+
+    single = IMF(cfg)
+    s_state = single.reset(train, seed=0)
+    sharded = ShardedIMF(cfg, mesh=mesh)
+    m_state = sharded.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(11)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = sharded.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+    ev = Evaluation.create("TOPN")
+    got = ev.evaluate(sharded, m_state, test, train)
+    want = ev.evaluate(single, s_state, test, train)
+    assert abs(got["R@10"] - want["R@10"]) < 1e-6
