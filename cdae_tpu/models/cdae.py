@@ -95,6 +95,15 @@ class CDAEConfig:
     # metric parity). None = auto when both fit HBM: dense_R int8 storage
     # (U*I <= 1.5e9 cells) AND per-batch f32 slab temps
     # (batch_size*I*40 bytes <= 4e9).
+    neg_pool: Optional[int] = None  # sparse-path pooled negatives (huge
+    # catalogs where dense_mode's (B, I) slab cannot exist): draw ONE pool
+    # of K uniform item ids per batch and Bernoulli-select per user with
+    # q_u = num_neg*|O_u|*I / (K*(I-|O_u|)), so every unrated item's
+    # expected touch count matches exact complement sampling
+    # (num_neg*|O_u|/(I-|O_u|)). Decode/grads for the pool become (B, K)
+    # and (K, D) MXU matmuls with only K scatter rows per batch — the
+    # serialized per-negative scatter (B*L*num_neg points) disappears.
+    # Needs K >~ num_neg*max|O_u| for unclipped q. None = exact sampling.
     dtype: Any = jnp.float32
 
 
@@ -620,17 +629,7 @@ def _train_step(
     z = _hidden(params, uids, items, keep, scale, cfg)  # (B, D)
     dz = _z_one_minus_z(z, cfg)  # (B, D)
 
-    # ---- negatives: num_neg per positive, exact complement sampling ----
-    # processed in num_neg chunks of (B, L) so peak HBM temp is one
-    # (B, L, D) gather instead of (B, num_neg*L, D) — the memory wall for
-    # Netflix-scale catalogs (observed 10.5G alloc at B=2048, L=1080, D=200)
-    n_neg = max(cfg.num_neg * L, 1)
-    neg = sampling.sample_unrated(k_neg, items, lengths, I, n_neg)  # (B, Nn)
-    neg_chunks = [
-        neg[:, k * L : (k + 1) * L] for k in range(max(cfg.num_neg, 0))
-    ]
-
-    # ---- output-side gradients ----
+    # ---- output-side gradients: positives ----
     pred_pos, dec_pos = _decode_at(params, z, items, cfg)  # (B,L), (B,L,D)
     g_pos = loss.gradient(pred_pos, 1.0) * mask_f  # ref cdae.hpp:228
 
@@ -645,26 +644,80 @@ def _train_step(
     hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos)
 
     d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
-    for nk in neg_chunks:
-        pred_nk, dec_nk = _decode_at(params, z, nk, cfg)  # (B,L), (B,L,D)
-        # sentinel id num_items marks an empty complement (user rated the
-        # whole catalog) — such slots must carry no gradient, not clip to
-        # a real (rated!) item
-        g_nk = (
-            loss.gradient(pred_nk, 0.0)
-            * mask_f
-            * (nk < I).astype(mask_f.dtype)
-        )  # ref cdae.hpp:265
-        d_bp = d_bp.at[nk].add(
-            (g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)]) * mask_f,
-            mode="drop",
+    if cfg.neg_pool:
+        # ---- pooled negatives (see CDAEConfig.neg_pool): one shared pool
+        # of K uniform ids; per-user Bernoulli keep with q_u chosen so each
+        # unrated item's expected touch count equals exact complement
+        # sampling's num_neg·|O_u|/(I−|O_u|). Decode and gradients become
+        # (B, K)/(K, D) MXU matmuls; only K rows are scattered.
+        K = int(cfg.neg_pool)
+        k_pool, k_sel = jax.random.split(k_neg)
+        pool = jax.random.randint(k_pool, (K,), 0, I, dtype=jnp.int32)
+        dec_table = params["V"] if cfg.asymmetric else params["W"]
+        dec_pool = dec_table[pool]  # (K, D)
+        bp_pool = params["b_prime"][pool]
+        cdt = _cdt(cfg)
+        pred_pool = jnp.einsum(
+            "bd,kd->bk", z.astype(cdt), dec_pool.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(z.dtype) + bp_pool[None, :]
+        # rated-membership test against the user's (sorted, padded) rows —
+        # fused compare+any, no scatter/search (B·L·K VPU ops)
+        is_rated = jnp.any(
+            (items[:, :, None] == pool[None, None, :]) & mask[:, :, None],
+            axis=1,
+        )  # (B, K)
+        L_u = lengths.astype(jnp.float32)
+        q_u = jnp.clip(
+            cfg.num_neg * L_u * I
+            / (K * jnp.maximum(I - L_u, 1.0)),
+            0.0, 1.0,
         )
-        hidden_grad = hidden_grad + jnp.einsum("bl,bld->bd", g_nk, dec_nk)
-        d_table_neg = d_table_neg.at[nk].add(
-            (g_nk[..., None] * z[:, None, :] + lam * dec_nk)
-            * mask_f[..., None],
-            mode="drop",
+        sel = (
+            (jax.random.uniform(k_sel, (B, K)) < q_u[:, None])
+            & (~is_rated)
+            & (weight[:, None] > 0)
+        ).astype(z.dtype)
+        g_pool = loss.gradient(pred_pool, 0.0) * sel  # ref cdae.hpp:265
+        touch = jnp.sum(sel, axis=0)  # (K,)
+        d_bp = d_bp.at[pool].add(
+            jnp.sum(g_pool, axis=0) + lam * bp_pool * touch
         )
+        hidden_grad = hidden_grad + g_pool @ dec_pool
+        d_table_neg = d_table_neg.at[pool].add(
+            g_pool.T @ z + lam * dec_pool * touch[:, None]
+        )
+    else:
+        # ---- exact complement sampling: num_neg per positive, processed
+        # in num_neg chunks of (B, L) so peak HBM temp is one (B, L, D)
+        # gather instead of (B, num_neg*L, D) — the memory wall for
+        # Netflix-scale catalogs (10.5G alloc at B=2048, L=1080, D=200)
+        n_neg = max(cfg.num_neg * L, 1)
+        neg = sampling.sample_unrated(k_neg, items, lengths, I, n_neg)
+        neg_chunks = [
+            neg[:, k * L : (k + 1) * L] for k in range(max(cfg.num_neg, 0))
+        ]
+        for nk in neg_chunks:
+            pred_nk, dec_nk = _decode_at(params, z, nk, cfg)  # (B,L),(B,L,D)
+            # sentinel id num_items marks an empty complement (user rated
+            # the whole catalog) — such slots must carry no gradient, not
+            # clip to a real (rated!) item
+            g_nk = (
+                loss.gradient(pred_nk, 0.0)
+                * mask_f
+                * (nk < I).astype(mask_f.dtype)
+            )  # ref cdae.hpp:265
+            d_bp = d_bp.at[nk].add(
+                (g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)])
+                * mask_f,
+                mode="drop",
+            )
+            hidden_grad = hidden_grad + jnp.einsum("bl,bld->bd", g_nk, dec_nk)
+            d_table_neg = d_table_neg.at[nk].add(
+                (g_nk[..., None] * z[:, None, :] + lam * dec_nk)
+                * mask_f[..., None],
+                mode="drop",
+            )
     hg = hidden_grad * dz  # (B, D)
 
     # ---- decoder-table gradients ----

@@ -115,6 +115,20 @@ def test_determinism_same_seed(splits):
     assert h1["R@10"] == h2["R@10"]
 
 
+def test_cdae_pooled_negatives_learn(splits):
+    """neg_pool (huge-catalog pooled negatives) reaches the same quality
+    band as exact complement sampling (CDAEConfig.neg_pool docstring;
+    convergence-equivalent at a modest epoch premium)."""
+    solver = _run_cdae(
+        splits,
+        CDAEConfig(num_dim=10, learn_rate=0.1, lambda_=0.01, loss="SQUARE",
+                   corruption_ratio=0.2, num_neg=5, batch_size=32,
+                   dense_mode=False, use_pallas=False, neg_pool=24),
+        iters=20, eval_iterations=20,
+    )
+    assert solver.history[-1]["R@10"] > 0.3
+
+
 def test_cdae_bfloat16_trains(splits):
     """bf16 parameter dtype runs end to end (TPU MXU-friendly); f32 remains
     the default (bf16 AdaGrad accumulators trade some accuracy)."""
