@@ -36,6 +36,7 @@ from cdae_tpu.models.base import ModelState, RecsysModel, iter_user_batches
 from cdae_tpu.ops import sampling
 from cdae_tpu.ops.losses import Loss
 from cdae_tpu.ops.penalties import Penalty
+from cdae_tpu.ops.scatter import scatter_add_rows
 from cdae_tpu.solver.optimizer import ADAGRAD_INIT, dense_adagrad_step
 
 
@@ -56,6 +57,7 @@ class FISMConfig:
     learn_rate: float = 0.01  # step_size comes from the SGD solver in the ref
     # --- TPU build knobs ---
     batch_size: int = 128
+    scatter_mode: str = "auto"  # row-aggregation strategy (ops/scatter.py)
     dtype: Any = jnp.float32
 
 
@@ -266,17 +268,16 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
     g_neg = loss.gradient(pred_neg, loss.negative_label) * neg_mask
 
     grads = {}
+    sm = cfg.scatter_mode
+    D_ = params["P"].shape[1]
+    # one flat index vector over positives + negatives; Q and bi grads ride
+    # ONE strategy-selected row aggregation (ops/scatter.py) instead of the
+    # serialized per-row scatters — bi as an extra value column
+    all_idx = jnp.concatenate([items.reshape(-1), neg.reshape(-1)])
     if cfg.using_bias_term:
         grads["bu"] = jnp.zeros_like(params["bu"]).at[uids].add(
             jnp.sum(g_pos, 1) + jnp.sum(g_neg, 1)
             + lam * params["bu"][uids] * w
-        )
-        grads["bi"] = (
-            jnp.zeros_like(params["bi"])
-            .at[items].add(g_pos + lam * params["bi"][items_c] * mask_f,
-                           mode="drop")
-            .at[neg].add(g_neg + lam * params["bi"][neg_c] * neg_mask,
-                         mode="drop")
         )
 
     if cfg.using_factor_term:
@@ -289,11 +290,26 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
             (g_neg * s_unrated[:, None])[..., None] * x[:, None, :]
             + lam * Q_neg
         ) * neg_mask[..., None]
-        grads["Q"] = (
-            jnp.zeros_like(params["Q"])
-            .at[items].add(gq_pos, mode="drop")
-            .at[neg].add(gq_neg, mode="drop")
+        q_vals = jnp.concatenate(
+            [gq_pos.reshape(-1, D_), gq_neg.reshape(-1, D_)]
         )
+        if cfg.using_bias_term:
+            bi_vals = jnp.concatenate([
+                (g_pos + lam * params["bi"][items_c] * mask_f).reshape(-1),
+                (g_neg + lam * params["bi"][neg_c] * neg_mask).reshape(-1),
+            ])
+            agg = scatter_add_rows(
+                jnp.zeros((params["Q"].shape[0], D_ + 1), q_vals.dtype),
+                all_idx,
+                jnp.concatenate([q_vals, bi_vals[:, None]], axis=1),
+                mode=sm,
+            )
+            grads["Q"] = agg[:, :D_]
+            grads["bi"] = agg[:, D_]
+        else:
+            grads["Q"] = scatter_add_rows(
+                jnp.zeros_like(params["Q"]), all_idx, q_vals, mode=sm
+            )
         # P gradients: every rated j gets Σ_instances g·q·scale, minus the
         # self term for positive j (ref fism.hpp:136-144 skips jid==iid)
         S = (
@@ -305,8 +321,18 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
             - (g_pos * s_rated[:, None])[..., None] * Q_pos
             + lam * P_rows
         ) * mask_f[..., None]
-        grads["P"] = jnp.zeros_like(params["P"]).at[items].add(
-            gp, mode="drop"
+        grads["P"] = scatter_add_rows(
+            jnp.zeros_like(params["P"]), items.reshape(-1),
+            gp.reshape(-1, D_), mode=sm,
+        )
+    elif cfg.using_bias_term:
+        grads["bi"] = scatter_add_rows(
+            jnp.zeros_like(params["bi"]), all_idx,
+            jnp.concatenate([
+                (g_pos + lam * params["bi"][items_c] * mask_f).reshape(-1),
+                (g_neg + lam * params["bi"][neg_c] * neg_mask).reshape(-1),
+            ]),
+            mode=sm,
         )
 
     params = _fism_adagrad(params, grads, lr, cfg)
