@@ -55,7 +55,9 @@ def sample_unrated(
         k = jnp.sum(
             (ranks[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
         )
-    else:
+    elif num_samples <= 512:
+        # mid-size S (e.g. WARP's nn·num_tries=320): chunked compare-sum
+        # still beats the serialized search (37 s/epoch -> ms, measured)
         S_pad = -(-num_samples // chunk) * chunk
         u_p = jnp.pad(u, ((0, 0), (0, S_pad - num_samples)))
         u_c = u_p.reshape(B, S_pad // chunk, chunk)
@@ -68,4 +70,9 @@ def sample_unrated(
 
         _, k_c = jax.lax.scan(body, None, jnp.moveaxis(u_c, 1, 0))
         k = jnp.moveaxis(k_c, 0, 1).reshape(B, S_pad)[:, :num_samples]
+    else:
+        # huge S (CDAE's num_neg·L): B·L·S compare volume loses to the
+        # vectorized binary search (measured 3k vs 22.7k users/s at
+        # S=4000, L=800 on the 200k x 50k smoke)
+        k = jax.vmap(jnp.searchsorted, in_axes=(0, 0, None))(ranks, u, "right")
     return (u + k).astype(jnp.int32)
