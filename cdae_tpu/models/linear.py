@@ -359,6 +359,8 @@ class NegMF(FactorModel):
         if config is None and "loss" not in kw:
             kw["loss"] = "LOG"
         super().__init__(config, **kw)
+        self._jit_epoch = None
+        self._epoch_batches = -1
 
     def reset(self, data, seed: int = 0) -> ModelState:
         if isinstance(data, GroupedInstances):
@@ -366,82 +368,113 @@ class NegMF(FactorModel):
         state = super().reset(data, seed)
         state.padded = data.padded()
         state.aux["coo"] = (data.users, data.items)
+        self._jit_epoch = None  # shapes may have changed
         return state
+
+    # -- epoch: one fused device program (same rationale as _MFBase._build_
+    # epoch): the per-batch host loop pays a dispatch + transfer per batch,
+    # which over a tunneled device leaves the chip idle. Shuffle, negative
+    # sampling (ref neg_mf.hpp:79-95), and every FM update run in one scan.
+    def _build_epoch(self, num_batches: int, I: int, i_off: int):
+        cfg, loss = self.cfg, self.loss
+        bs = cfg.batch_size
+        nn = max(cfg.num_neg, 0)
+        neg_label = (
+            -1.0 if loss.name in ("LOG", "HINGE") else 0.0
+        )  # ref neg_mf.hpp:84-90
+        step = functools.partial(
+            _fm_step, cfg=cfg, loss=loss, group_of=(0, 1)
+        )
+
+        def epoch(params, users, items, pad_items, pad_lengths, mean, lr,
+                  key):
+            n = users.shape[0]
+            kperm, kstep = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)
+            total = num_batches * bs
+            if total > n:
+                perm = jnp.concatenate(
+                    [perm, jnp.zeros((total - n,), perm.dtype)]
+                )
+            w_all = (jnp.arange(total) < n).astype(jnp.float32)
+            sel_mat = perm.reshape(num_batches, bs)
+            w_mat = w_all.reshape(num_batches, bs)
+
+            def body(carry, inp):
+                params, key = carry
+                sel, w = inp
+                u = users[sel]
+                it = items[sel]
+                key, sub = jax.random.split(key)
+                if nn > 0:
+                    neg = sampling.sample_unrated(
+                        sub, pad_items[u], pad_lengths[u], I, nn
+                    )  # (B, nn)
+                    # sentinel id I = empty complement -> zero-weight it
+                    neg_valid = (neg < I).astype(jnp.float32)
+                    neg_c = jnp.clip(neg, 0, I - 1)
+                    all_u = jnp.tile(u[:, None], (1, nn + 1))
+                    all_i = jnp.concatenate([it[:, None], neg_c], axis=1)
+                    labels = jnp.concatenate(
+                        [
+                            jnp.full((bs, 1), loss.positive_label),
+                            jnp.full((bs, nn), neg_label),
+                        ],
+                        axis=1,
+                    )
+                    idx = jnp.stack(
+                        [all_u.reshape(-1), all_i.reshape(-1) + i_off],
+                        axis=1,
+                    )
+                    vals = jnp.ones_like(idx, dtype=cfg.dtype)
+                    ww = (
+                        w[:, None]
+                        * jnp.concatenate(
+                            [jnp.ones((bs, 1), jnp.float32), neg_valid],
+                            axis=1,
+                        )
+                    ).reshape(-1)
+                    params = step(
+                        params, idx, vals, labels.reshape(-1), ww, mean, lr
+                    )
+                else:
+                    idx = jnp.stack([u, it + i_off], axis=1)
+                    vals = jnp.ones_like(idx, dtype=cfg.dtype)
+                    params = step(
+                        params, idx, vals,
+                        jnp.full((bs,), loss.positive_label), w, mean, lr,
+                    )
+                return (params, key), None
+
+            (params, _), _ = jax.lax.scan(body, (params, kstep),
+                                          (sel_mat, w_mat))
+            return params
+
+        return jax.jit(epoch, donate_argnums=(0,))
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
         gi: GroupedInstances = state.aux["instances"]
-        users, items = state.aux["coo"]
-        pb = state.padded
         n = len(gi)
-        bs = self.cfg.batch_size
-        nn = max(self.cfg.num_neg, 0)
-        neg_label = (
-            -1.0 if self.loss.name in ("LOG", "HINGE") else 0.0
-        )  # ref neg_mf.hpp:84-90
-        perm = np.random.default_rng(
-            np.asarray(jax.random.key_data(rng_key))[-1]
-        ).permutation(n)
-        params = state.params
-        mean = jnp.asarray(state.aux["global_mean"], self.cfg.dtype)
-        i_off = gi.group_dims[0]
-        I = state.num_items
-        for start in range(0, n, bs):
-            sel = perm[start : start + bs]
-            pad = bs - len(sel)
-            w = np.ones(bs, dtype=np.float32)
-            if pad > 0:
-                w[bs - pad :] = 0.0
-                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
-            u = users[sel]
-            rng_key, sub = jax.random.split(rng_key)
-            if nn > 0:
-                neg = sampling.sample_unrated(
-                    sub,
-                    jnp.asarray(pb.items[u]),
-                    jnp.asarray(pb.lengths[u]),
-                    I,
-                    nn,
-                )  # (B, nn)
-                # sentinel id I = empty complement -> zero-weight the slot
-                neg_valid = (neg < I).astype(np.float32)
-                neg = jnp.clip(neg, 0, I - 1)
-                B = bs
-                all_u = jnp.tile(jnp.asarray(u)[:, None], (1, nn + 1))
-                all_i = jnp.concatenate(
-                    [jnp.asarray(items[sel])[:, None], neg], axis=1
-                )
-                labels = jnp.concatenate(
-                    [
-                        jnp.full((B, 1), self.loss.positive_label),
-                        jnp.full((B, nn), neg_label),
-                    ],
-                    axis=1,
-                )
-                idx = jnp.stack(
-                    [all_u.reshape(-1), all_i.reshape(-1) + i_off], axis=1
-                )
-                vals = jnp.ones_like(idx, dtype=self.cfg.dtype)
-                ww = (
-                    jnp.tile(jnp.asarray(w)[:, None], (1, nn + 1))
-                    * jnp.concatenate(
-                        [jnp.ones((B, 1), jnp.float32), neg_valid], axis=1
-                    )
-                ).reshape(-1)
-                params = self._jit_step(
-                    params, idx, vals, labels.reshape(-1), ww, mean,
-                    jnp.asarray(self._lr, self.cfg.dtype),
-                )
-            else:
-                params = self._jit_step(
-                    params,
-                    jnp.asarray(gi.idx[sel]),
-                    jnp.asarray(gi.vals[sel]),
-                    jnp.full((bs,), self.loss.positive_label),
-                    jnp.asarray(w),
-                    mean,
-                    jnp.asarray(self._lr, self.cfg.dtype),
-                )
-        state.params = params
+        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        if self._jit_epoch is None or self._epoch_batches != num_batches:
+            self._jit_epoch = self._build_epoch(
+                num_batches, state.num_items, int(gi.group_dims[0])
+            )
+            self._epoch_batches = num_batches
+        if "device_data" not in state.aux:
+            users, items = state.aux["coo"]
+            pb = state.padded
+            state.aux["device_data"] = (
+                jnp.asarray(users), jnp.asarray(items),
+                jnp.asarray(pb.items), jnp.asarray(pb.lengths),
+            )
+        du, di, dpi, dpl = state.aux["device_data"]
+        state.params = self._jit_epoch(
+            state.params, du, di, dpi, dpl,
+            jnp.asarray(state.aux["global_mean"], self.cfg.dtype),
+            jnp.asarray(self._lr, self.cfg.dtype),
+            rng_key,
+        )
         state.step += 1
         return state
 

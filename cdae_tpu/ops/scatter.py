@@ -50,6 +50,57 @@ def matmul_scatter_add(idx: jnp.ndarray, vals: jnp.ndarray, num_rows: int,
     return out[:, 0] if squeeze else out
 
 
+def factored_matmul_scatter_add(
+    idx: jnp.ndarray,
+    vals: jnp.ndarray,
+    num_rows: int,
+    *,
+    c: int = 0,
+    vals_dtype=None,
+) -> jnp.ndarray:
+    """Two-level one-hot aggregation: ~N/C fewer MXU FLOPs than the flat
+    one-hot matmul when D ≪ 128 (the pairwise models run D≈10, so the flat
+    kernel pads 128−D dead lanes into EVERY one-hot contraction).
+
+    Decompose id = hi·C + lo and pack (lo, d) jointly into the lane axis:
+
+        RHS[p, lo·D+d] = [lo_p == lo] · v_p[d]          (P, C·D)
+        out[hi·C+lo, d] = (OH_hiᵀ @ RHS)[hi, lo·D+d]    (H, C·D)
+
+    One matmul of 2·P·H·(C·D) FLOPs — the lane axis now carries C·D ≈ 128+
+    useful values instead of D — plus P·(H+C) one-hot compares instead of
+    P·N. Both one-hot factors are exact in any dtype; vals ride in
+    ``vals_dtype`` (default: input dtype, f32-exact).
+
+    idx: (P,) int32; entries outside [0, num_rows) contribute nothing.
+    """
+    squeeze = vals.ndim == 1
+    if squeeze:
+        vals = vals[:, None]
+    P, D = vals.shape
+    if c <= 0:
+        # target C·D ≈ 512 lanes (4 MXU tiles), power of two for cheap %//
+        c = 512 // max(D, 1)
+        c = max(8, min(128, 1 << max(c.bit_length() - 1, 3)))
+    H = -(-num_rows // c)
+    valid = (idx >= 0) & (idx < num_rows)
+    idx_c = jnp.where(valid, idx, -1).astype(jnp.int32)
+    hi = idx_c // c  # -1 stays -1 (floor division) -> matches no hi slot
+    lo = idx_c % c
+    vd = vals.dtype if vals_dtype is None else vals_dtype
+    oh_hi = (hi[:, None] == jax.lax.iota(jnp.int32, H)[None, :]).astype(vd)
+    oh_lo = (lo[:, None] == jax.lax.iota(jnp.int32, c)[None, :]).astype(vd)
+    oh_lo = oh_lo * valid[:, None].astype(vd)  # -1 % c == c-1: mask it out
+    rhs = (oh_lo[:, :, None] * vals.astype(vd)[:, None, :]).reshape(
+        P, c * D
+    )
+    out = jnp.einsum(
+        "ph,pk->hk", oh_hi, rhs, preferred_element_type=jnp.float32
+    ).reshape(H * c, D)[:num_rows]
+    out = out.astype(vals.dtype)
+    return out[:, 0] if squeeze else out
+
+
 def sort_segment_add(idx: jnp.ndarray, vals: jnp.ndarray,
                      num_rows: int) -> jnp.ndarray:
     """Row-aggregation with NO P·N term: O(P log P + P·D + N·D).
@@ -91,20 +142,29 @@ def sort_segment_add(idx: jnp.ndarray, vals: jnp.ndarray,
 def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
                      *, mode: str = "auto") -> jnp.ndarray:
     """base.at[idx].add(vals), strategy-selected
-    (mode: auto|pallas|matmul|sort|scatter).
+    (mode: auto|factored|factored_bf16|pallas|matmul|sort|scatter).
 
-    "pallas" generates the one-hot tiles in VMEM (ops/pallas_kernels.
-    scatter_matmul — no HBM traffic for the (P, N) one-hot); "matmul" is
-    the XLA one-hot dot; "sort" argsort+cumsum segment aggregation (no
-    P·N cost but TPU sort-bound); "scatter" the native serialized op.
-    "auto" picks pallas on TPU, else matmul while its FLOP cost is in
-    budget, else sort.
+    "factored" is the two-level one-hot matmul (factored_matmul_scatter_add
+    — ~N/C fewer MXU FLOPs than flat one-hot when D ≪ 128); "pallas"
+    generates flat one-hot tiles in VMEM (ops/pallas_kernels.scatter_matmul
+    — no HBM traffic for the (P, N) one-hot); "matmul" is the XLA flat
+    one-hot dot; "sort" argsort+cumsum segment aggregation (no P·N cost but
+    TPU sort-bound); "scatter" the native serialized op. "auto" picks
+    factored on TPU, else matmul while its FLOP cost is in budget, else
+    sort.
     """
     if mode == "scatter":
         return base.at[idx].add(vals)
     num_rows = base.shape[0]
     if mode == "sort":
         return base + sort_segment_add(idx, vals, num_rows)
+    if mode == "factored" or (mode == "auto"
+                              and jax.default_backend() == "tpu"):
+        return base + factored_matmul_scatter_add(idx, vals, num_rows)
+    if mode == "factored_bf16":
+        return base + factored_matmul_scatter_add(
+            idx, vals, num_rows, vals_dtype=jnp.bfloat16
+        )
     if mode == "pallas_bf16":
         from cdae_tpu.ops.pallas_kernels import scatter_matmul
 

@@ -9,10 +9,13 @@ usage: python scripts/bench_zoo.py [BPR WARP IMF ...] [--dim N] [--batch N]
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthetic(num_users, num_items, avg_degree, seed=20141119):
@@ -73,6 +76,11 @@ def main():
         elif name == "FISM":
             model = fism_mod.FISM(fism_mod.FISMConfig(
                 num_dim=args.dim, batch_size=args.batch))
+        elif name == "NegMF":
+            from cdae_tpu.models.linear import FactorModelConfig, NegMF
+            model = NegMF(FactorModelConfig(
+                num_dim=args.dim, batch_size=args.batch, loss="LOG",
+                using_global_mean=False))
         else:
             raise SystemExit(f"unknown model {name}")
 
@@ -81,7 +89,7 @@ def main():
 
         def checksum(s):
             p = s.params
-            arr = p.get("iv", p.get("Q", p.get("P")))
+            arr = next(p[k] for k in ("iv", "Q", "P", "V", "w") if k in p)
             return float(jnp.sum(arr))
 
         # warmup (compile)

@@ -364,3 +364,39 @@ def test_matmul_scatter_add_matches_numpy():
     np.add.at(ref1, idx[live], v1[live])
     out1 = matmul_scatter_add(jnp.asarray(idx, jnp.int32), jnp.asarray(v1), N)
     np.testing.assert_allclose(np.asarray(out1), ref1, rtol=1e-6, atol=1e-6)
+
+
+def test_factored_scatter_add_matches_numpy():
+    """Two-level one-hot aggregation == np.add.at for every C decomposition,
+    incl. the sentinel (id == num_rows) and a non-divisible num_rows."""
+    import jax.numpy as jnp
+
+    from cdae_tpu.ops.scatter import factored_matmul_scatter_add
+
+    rng = np.random.default_rng(11)
+    P, N, D = 513, 101, 7  # N not a multiple of any C
+    idx = rng.integers(0, N + 1, size=P)  # N == dead slot
+    vals = rng.standard_normal((P, D)).astype(np.float32)
+    ref = np.zeros((N, D), np.float32)
+    live = idx < N
+    np.add.at(ref, idx[live], vals[live])
+
+    for c in (0, 8, 16, 101, 128):  # 0 = auto-pick
+        out = factored_matmul_scatter_add(
+            jnp.asarray(idx, jnp.int32), jnp.asarray(vals), N, c=c
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"c={c}")
+
+    # 1-D values + bf16 operand mode stays within rounding tolerance
+    v1 = rng.standard_normal(P).astype(np.float32)
+    ref1 = np.zeros((N,), np.float32)
+    np.add.at(ref1, idx[live], v1[live])
+    out1 = factored_matmul_scatter_add(jnp.asarray(idx, jnp.int32),
+                                       jnp.asarray(v1), N)
+    np.testing.assert_allclose(np.asarray(out1), ref1, rtol=1e-5, atol=1e-5)
+    out_bf = factored_matmul_scatter_add(
+        jnp.asarray(idx, jnp.int32), jnp.asarray(vals), N,
+        vals_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(np.asarray(out_bf), ref, rtol=0.05, atol=0.05)
