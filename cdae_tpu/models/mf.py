@@ -206,7 +206,13 @@ class _MFBase(RecsysModel):
     # The whole epoch (on-device shuffle -> lax.scan over fixed-size instance
     # minibatches) runs as ONE dispatch; the reference's per-instance loop
     # (e.g. imf.hpp:71-85) would leave the TPU >95% idle on host overhead.
-    def _build_epoch(self, num_batches: int):
+    def _epoch_fn(self, num_batches: int, constrain=None):
+        """The raw (unjitted) fused-epoch function. ``constrain`` is an
+        optional hook applied to each minibatch's (sel, w) BEFORE the
+        per-user gathers — the sharded trainer passes a
+        with_sharding_constraint over the 'data' mesh axis there, so every
+        downstream gather/grad/one-hot contraction partitions per user and
+        GSPMD reduces the aggregated table gradients with one psum."""
         step = functools.partial(self._step, cfg=self.cfg, loss=self.loss)
         bs = self.cfg.batch_size
 
@@ -228,6 +234,8 @@ class _MFBase(RecsysModel):
             def body(carry, inp):
                 params, key = carry
                 sel, w = inp
+                if constrain is not None:
+                    sel, w = constrain(sel), constrain(w)
                 u = users[sel]
                 key, sub = jax.random.split(key)
                 params = step(
@@ -242,7 +250,10 @@ class _MFBase(RecsysModel):
                                           (sel_mat, w_mat))
             return params
 
-        return jax.jit(epoch, donate_argnums=(0,))
+        return epoch
+
+    def _build_epoch(self, num_batches: int):
+        return jax.jit(self._epoch_fn(num_batches), donate_argnums=(0,))
 
     def _epoch_extras(self, state: ModelState) -> tuple:
         """Per-user auxiliary device arrays threaded into _step (row-gathered

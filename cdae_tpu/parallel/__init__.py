@@ -6,4 +6,15 @@ __all__ = [
     "cdae_param_specs",
     "batch_specs",
     "distributed_topk_unrated",
+    "ShardedCDAE",
+    "ShardedIMF",
+    "ShardedPairwise",
 ]
+
+
+def __getattr__(name):  # lazy: trainer pulls in the model zoo
+    if name in ("ShardedCDAE", "ShardedIMF", "ShardedPairwise"):
+        from cdae_tpu.parallel import trainer
+
+        return getattr(trainer, name)
+    raise AttributeError(name)

@@ -245,3 +245,103 @@ class ShardedIMF(RecsysModel):
 
     def predict(self, state, users, items):
         return self.inner.predict(state, users, items)
+
+
+class ShardedPairwise(RecsysModel):
+    """DP trainer for the sparse/fused-epoch MF family (BPR/WARP/IMF/PMF):
+    the per-interaction independence of the pairwise updates (ref
+    bpr.hpp:72-106 — each pair touches one u row, one i row, nn j rows)
+    makes minibatch-axis DP exact up to float summation order.
+
+    Parameters replicate across the mesh; each fused-epoch minibatch is
+    forced onto the 'data' axis with a sharding constraint inside the scan
+    body (models/mf._epoch_fn), so the pair-gradient one-hot contractions
+    partition per pair and GSPMD reduces the aggregated (I, D) / (U, D)
+    table gradients with a single psum per batch. The AdaGrad apply then
+    runs replicated — every shard steps identically, no parameter traffic.
+
+    Usage: ShardedPairwise(BPR(MFConfig(...)), mesh=make_mesh())
+    — drop-in for Solver/Evaluation like the wrapped model.
+    """
+
+    name = "ShardedPairwise"
+
+    def __init__(self, inner, mesh: Optional[Mesh] = None):
+        from cdae_tpu.models.mf import _MFBase
+
+        if not isinstance(inner, _MFBase):
+            raise TypeError("ShardedPairwise wraps an _MFBase model "
+                            f"(BPR/WARP/IMF/PMF), got {type(inner)}")
+        # pallas kernels are single-device programs; GSPMD needs plain XLA,
+        # and the factored one-hot contraction partitions cleanly over P.
+        if inner.cfg.scatter_mode in ("auto", "pallas", "pallas_bf16"):
+            inner = type(inner)(
+                dataclasses.replace(inner.cfg, scatter_mode="factored")
+            )
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.loss = inner.loss
+        self.name = f"Sharded{inner.name}"
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._jit_epoch = None
+        self._epoch_batches = -1
+
+    def _constrain(self, x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data") if x.ndim == 1
+                             else P("data", *([None] * (x.ndim - 1))))
+        )
+
+    def reset(self, data: Interactions, seed: int = 0):
+        # force the sparse fused-epoch path: dense_mode slabs have their own
+        # sharded trainer (ShardedIMF)
+        state = self.inner.reset(data, seed)
+        state.aux.pop("dense_R", None)
+        state.aux.pop("dense_ratings", None)
+        rep = NamedSharding(self.mesh, P())
+        state.params = {k: jax.device_put(v, rep)
+                        for k, v in state.params.items()}
+        self._jit_epoch = None
+        return state
+
+    def _sharded_device_data(self, state):
+        if "sharded_device_data" not in state.aux:
+            rep = NamedSharding(self.mesh, P())
+            state.aux["sharded_device_data"] = tuple(
+                jax.device_put(np.asarray(a), rep)
+                for a in (state.aux["coo"][0], state.aux["coo"][1],
+                          state.aux["coo"][2], state.padded.items,
+                          state.padded.lengths)
+            )
+        return state.aux["sharded_device_data"]
+
+    def train_one_iteration(self, state, rng_key):
+        n = len(state.aux["coo"][0])
+        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        if self._jit_epoch is None or self._epoch_batches != num_batches:
+            fn = self.inner._epoch_fn(num_batches, constrain=self._constrain)
+            self._jit_epoch = jax.jit(fn, donate_argnums=(0,))
+            self._epoch_batches = num_batches
+        users, items, ratings, pad_items, pad_lengths = (
+            self._sharded_device_data(state))
+        extras = self.inner._epoch_extras(state)
+        rep = NamedSharding(self.mesh, P())
+        extras = tuple(jax.device_put(e, rep) for e in extras)
+        state.params = self._jit_epoch(
+            state.params, users, items, ratings, pad_items, pad_lengths,
+            rng_key, *extras,
+        )
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self.inner.batch_scores(state, uids, rated_items, rated_mask)
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)

@@ -75,6 +75,48 @@ def main():
     readback(neg)
     log(f"sample_unrated 10x steady: {(time.perf_counter()-t0)*100:.1f} ms/call")
 
+    # phase 1b: step components (sampling / pair grads / scatter / adagrad)
+    from cdae_tpu.ops.scatter import scatter_add_rows
+
+    nn = max(model.cfg.num_neg, 1)
+    negs = f_samp(key, pad_items[u], pad_lengths[u])
+
+    def time_fn(name, fn, *a, reps=10):
+        out = fn(*a)
+        readback(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        readback(jax.tree_util.tree_leaves(out)[0])
+        log(f"{name}: {(time.perf_counter()-t0)/reps*1000:.2f} ms")
+
+    pair_w = jnp.ones((B, nn), jnp.float32)
+    params0 = state.params
+
+    def grads_only(p, u, i, j, w):
+        return mf_mod._pairwise_grads(p, u, i, j, w, model.cfg, model.loss)
+
+    time_fn("pairwise grads+scatter", jax.jit(grads_only),
+            params0, u, i, negs % args.items, pair_w)
+
+    P = B * (nn + 1)
+    ids = jnp.concatenate([i, (negs % args.items).reshape(-1)])
+    vals11 = jnp.ones((P, args.dim + 1), jnp.float32)
+
+    def scat_only(ids, vals):
+        return scatter_add_rows(
+            jnp.zeros((args.items, args.dim + 1)), ids, vals,
+            mode=args.scatter)
+
+    time_fn(f"scatter_add_rows[{args.scatter}] P={P}",
+            jax.jit(scat_only), ids, vals11)
+
+    def adagrad_only(p):
+        g = {k: v * 1e-3 for k, v in p.items() if not k.endswith("_ag")}
+        return mf_mod._adagrad_apply(dict(p), g, model.cfg)
+
+    time_fn("adagrad table apply", jax.jit(adagrad_only), params0)
+
     # phase 2: one train step
     step = model._jit_step
     t0 = time.perf_counter()

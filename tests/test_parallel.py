@@ -248,3 +248,41 @@ def test_sharded_imf_trainer_end_to_end(mesh):
     got = ev.evaluate(sharded, m_state, test, train)
     want = ev.evaluate(single, s_state, test, train)
     assert abs(got["R@10"] - want["R@10"]) < 1e-6
+
+
+@pytest.mark.parametrize("model_name", ["BPR", "WARP"])
+def test_sharded_pairwise_matches_single(mesh, model_name):
+    """ShardedPairwise (DP over the pair minibatch axis): same key stream
+    as the single-chip fused epoch, params must match up to psum
+    float-summation order; the wrapped scorer feeds the evaluator."""
+    from cdae_tpu.evaluation import Evaluation
+    from cdae_tpu.models import mf as mf_mod
+    from cdae_tpu.parallel.trainer import ShardedPairwise
+
+    data = _tiny(num_users=48, num_items=64, seed=3)
+    train, test = data.split_by_user(0.25, seed=1)
+    cfg = mf_mod.MFConfig(num_dim=8, num_neg=2, batch_size=32,
+                          scatter_mode="factored", dense_mode=False)
+    cls = getattr(mf_mod, model_name)
+
+    single = cls(cfg)
+    s_state = single.reset(train, seed=0)
+    sharded = ShardedPairwise(cls(cfg), mesh=mesh)
+    assert sharded.name == f"Sharded{model_name}"
+    m_state = sharded.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(5)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = sharded.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+    ev = Evaluation.create("TOPN")
+    got = ev.evaluate(sharded, m_state, test, train)
+    want = ev.evaluate(single, s_state, test, train)
+    assert abs(got["R@10"] - want["R@10"]) < 1e-5
