@@ -86,6 +86,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_ratio", type=float, default=0.2)
     p.add_argument("--eval", default="TOPN",
                    help="comma-separated eval types (TOPN,RANKING,RMSE,MAE)")
+    p.add_argument("--rel_threshold", type=float, default=4.0,
+                   help="RANKING relevance cut for a hit (ref hardcodes 4)")
     p.add_argument("--checkpoint", default="",
                    help="path to write the final model checkpoint")
     p.add_argument("--init_checkpoint", default="",
@@ -188,6 +190,13 @@ def build_model(args):
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
     eval_types = [e.strip() for e in args.eval.split(",") if e.strip()]
+    if args.rel_threshold != 4.0:
+        from cdae_tpu.evaluation import Evaluation
+        eval_types = [
+            Evaluation.create(e, rel_threshold=args.rel_threshold)
+            if e.upper() == "RANKING" else e
+            for e in eval_types
+        ]
 
     if args.task == "prepare":
         data = Interactions.from_text(args.input_file, PARSERS[args.parser],

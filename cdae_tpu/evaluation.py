@@ -50,25 +50,28 @@ class EvalType(enum.Enum):
 
 @functools.partial(jax.jit, static_argnames=("columns",))
 def _rec_metric_rows(
-    scores, rated_items, val_items, val_ratings, val_mask, columns: str
+    scores, rated_items, val_items, val_ratings, val_mask, columns: str,
+    rel_threshold=4.0,
 ):
     """scores (B,I) -> per-user metric rows (B,8) for TOPN or RANKING."""
     rec, _ = topk_unrated(scores, rated_items, 10)
     if columns == "TOPN":
         return M.topn_user_metrics(rec, val_items, val_mask)
-    return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask)
+    return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask,
+                                  rel_threshold)
 
 
 @functools.partial(jax.jit, static_argnames=("columns",))
 def _rec_metric_rows_from_ids(
-    rec, val_items, val_ratings, val_mask, columns: str
+    rec, val_items, val_ratings, val_mask, columns: str, rel_threshold=4.0
 ):
     """Pre-computed rec ids (B,10) -> per-user metric rows (B,8). Used when
     the model provides its own top-k (e.g. streaming/distributed top-k that
     never materializes the (B, num_items) score matrix)."""
     if columns == "TOPN":
         return M.topn_user_metrics(rec, val_items, val_mask)
-    return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask)
+    return M.ranking_user_metrics(rec, val_items, val_ratings, val_mask,
+                                  rel_threshold)
 
 
 class Evaluation:
@@ -78,7 +81,10 @@ class Evaluation:
     columns: tuple
 
     @staticmethod
-    def create(kind, batch_size: int = 1024) -> "Evaluation":
+    def create(kind, batch_size: int = 1024,
+               rel_threshold: float = 4.0) -> "Evaluation":
+        if isinstance(kind, Evaluation):  # pre-built (e.g. custom threshold)
+            return kind
         kind = EvalType.parse(kind)
         if kind == EvalType.RMSE:
             return PointwiseEvaluation(EvalType.RMSE, batch_size)
@@ -87,7 +93,8 @@ class Evaluation:
         if kind == EvalType.TOPN:
             return RecListEvaluation(EvalType.TOPN, batch_size)
         if kind == EvalType.RANKING:
-            return RecListEvaluation(EvalType.RANKING, batch_size)
+            return RecListEvaluation(EvalType.RANKING, batch_size,
+                                     rel_threshold)
         raise ValueError(f"unknown eval type {kind}")
 
     def evaluate(
@@ -139,10 +146,12 @@ class PointwiseEvaluation(Evaluation):
 class RecListEvaluation(Evaluation):
     """TOPN / RANKING evaluation over length-10 rec lists."""
 
-    def __init__(self, kind: EvalType, batch_size: int = 1024):
+    def __init__(self, kind: EvalType, batch_size: int = 1024,
+                 rel_threshold: float = 4.0):
         # larger batches amortize per-dispatch latency; memory is B x I
         # floats per score slab (drop batch_size for >100k-item catalogs)
         self.kind = kind
+        self.rel_threshold = float(rel_threshold)
         self.columns = (
             M.TOPN_COLUMNS if kind == EvalType.TOPN else M.RANKING_COLUMNS
         )
@@ -226,7 +235,8 @@ class RecListEvaluation(Evaluation):
             )
             if rec is not None:
                 rows = _rec_metric_rows_from_ids(
-                    rec, val_items, val_ratings, val_mask, self.kind.value
+                    rec, val_items, val_ratings, val_mask, self.kind.value,
+                    self.rel_threshold,
                 )
             else:
                 scores = model.batch_scores(
@@ -234,7 +244,7 @@ class RecListEvaluation(Evaluation):
                 )
                 rows = _rec_metric_rows(
                     scores, rated_items, val_items, val_ratings, val_mask,
-                    self.kind.value,
+                    self.kind.value, self.rel_threshold,
                 )
             col_sum += np.asarray(jnp.sum(rows, axis=0), dtype=np.float64)
         out = {

@@ -47,17 +47,8 @@ class ALSConfig:
     dtype: Any = jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("weighted",))
-def _solve_side(
-    Y: jnp.ndarray,  # (M, D) fixed factor side
-    idx: jnp.ndarray,  # (B, L) int32 observed indices into Y, padded with M
-    ratings: jnp.ndarray,  # (B, L) float32
-    mask: jnp.ndarray,  # (B, L) bool
-    lam: jnp.ndarray,  # scalar
-    scalar: jnp.ndarray,  # scalar (WRMF confidence scale)
-    weighted: bool,
-):
-    """Batched normal-equation solve for one ALS sweep side."""
+def _solve_side_math(Y, idx, ratings, mask, lam, scalar, weighted):
+    """Batched normal-equation solve for one ALS sweep side (one chunk)."""
     D = Y.shape[1]
     rows = Y[jnp.clip(idx, 0, Y.shape[0] - 1)]  # (B, L, D)
     m = mask.astype(Y.dtype)
@@ -69,6 +60,45 @@ def _solve_side(
     # A is SPD (Gram + λI): Cholesky is ~2x faster than LU on TPU
     chol = jnp.linalg.cholesky(A)
     return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+
+
+_solve_side = functools.partial(jax.jit, static_argnames=("weighted",))(
+    _solve_side_math
+)
+
+
+def _sweep_scan(X, Y, idx_k, ratings_k, mask_k, lengths_k, N, lam, sc,
+                weighted):
+    """All chunks of one sweep side under lax.scan; rows with no
+    observations keep their old factors (ref als.hpp:110-121)."""
+    k, bs, _ = idx_k.shape
+    D = X.shape[1]
+    Xp = jnp.pad(X, ((0, k * bs - X.shape[0]), (0, 0)))
+
+    def body(Xc, inp):
+        j, idx, r, m, ln = inp
+        solved = _solve_side_math(Y, idx, r, m, lam, sc, weighted)
+        start = j * bs
+        old = jax.lax.dynamic_slice(Xc, (start, 0), (bs, D))
+        keep = (ln > 0) & ((start + jnp.arange(bs)) < N)
+        new = jnp.where(keep[:, None], solved, old)
+        return jax.lax.dynamic_update_slice(Xc, new, (start, 0)), None
+
+    Xp, _ = jax.lax.scan(
+        body, Xp,
+        (jnp.arange(k), idx_k, ratings_k, mask_k, lengths_k),
+    )
+    return Xp[: X.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("weighted",),
+                   donate_argnums=(0, 1))
+def _als_iteration(p, q, user_side, item_side, lam, sc, weighted):
+    """One full ALS iteration — user sweep then item sweep against the
+    UPDATED user factors (ref als.hpp:100-107) — as ONE device program."""
+    p = _sweep_scan(p, q, *user_side, lam, sc, weighted)
+    q = _sweep_scan(q, p, *item_side, lam, sc, weighted)
+    return p, q
 
 
 class ALS(RecsysModel):
@@ -105,58 +135,35 @@ class ALS(RecsysModel):
         return state
 
     def _stage_side(self, pb):
+        """Side arrays pre-chunked (k, solve_batch, L) for the fused scan."""
         bs = self.cfg.solve_batch
         N = pb.num_users
-        total = max(-(-N // bs), 1) * bs
-        pad = total - N
+        k = max(-(-N // bs), 1)
+        pad = k * bs - N
 
         def padrows(a, fill=0):
-            if pad == 0:
-                return jnp.asarray(a)
-            shape = (pad,) + a.shape[1:]
-            return jnp.asarray(
-                np.concatenate([a, np.full(shape, fill, a.dtype)])
-            )
+            if pad > 0:
+                shape = (pad,) + a.shape[1:]
+                a = np.concatenate([a, np.full(shape, fill, a.dtype)])
+            return jnp.asarray(a.reshape((k, bs) + a.shape[1:]))
 
         return (
             padrows(pb.items, pb.num_items),
             padrows(pb.ratings),
             padrows(pb.mask, False),
             padrows(pb.lengths),
-            N,
+            jnp.asarray(N, jnp.int32),
         )
-
-    def _sweep(self, X, Y, side):
-        """Solve all rows of X against fixed Y in solve_batch chunks."""
-        bs = self.cfg.solve_batch
-        items_d, ratings_d, mask_d, lengths_d, N = side
-        lam = jnp.asarray(self.cfg.lambda_, self.cfg.dtype)
-        sc = jnp.asarray(self.cfg.scalar, self.cfg.dtype)
-        out = X
-        for start in range(0, items_d.shape[0], bs):
-            sl = slice(start, start + bs)
-            solved = _solve_side(
-                Y, items_d[sl], ratings_d[sl], mask_d[sl], lam, sc,
-                self.weighted,
-            )
-            row_ids = jnp.arange(start, start + bs)
-            keep_new = (
-                (lengths_d[sl] > 0) & (row_ids < N)
-            )[:, None]
-            # rows beyond N keep zero deltas; clip ids for the scatter
-            sel_j = jnp.minimum(row_ids, X.shape[0] - 1)
-            delta = jnp.where(keep_new, solved - out[sel_j], 0.0)
-            out = out.at[sel_j].add(delta)
-        return out
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
         params = dict(state.params)
-        # user sweep then item sweep (ref als.hpp:100-107)
-        params["p"] = self._sweep(
-            params["p"], params["q"], state.aux["dev_user_side"]
-        )
-        params["q"] = self._sweep(
-            params["q"], params["p"], state.aux["dev_item_side"]
+        # both sweeps in one device program (ref loop als.hpp:100-107)
+        params["p"], params["q"] = _als_iteration(
+            params["p"], params["q"],
+            state.aux["dev_user_side"], state.aux["dev_item_side"],
+            jnp.asarray(self.cfg.lambda_, self.cfg.dtype),
+            jnp.asarray(self.cfg.scalar, self.cfg.dtype),
+            self.weighted,
         )
         state.params = params
         state.step += 1

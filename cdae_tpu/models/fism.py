@@ -58,6 +58,10 @@ class FISMConfig:
     # --- TPU build knobs ---
     batch_size: int = 128
     scatter_mode: str = "auto"  # row-aggregation strategy (ops/scatter.py)
+    bucket_by_length: bool = True  # sort users by |R_u|, trim each batch's
+    # item axis to the next pow-2 of its longest row: the sampling draws
+    # num_neg·L per user, so padding to the GLOBAL max wasted ~6x at ML-1M
+    # degree skew (ROADMAP r2); pow-2 bucketing bounds compile variants
     dtype: Any = jnp.float32
 
 
@@ -119,7 +123,9 @@ class FISM(RecsysModel):
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
         params = state.params
-        for batch in iter_user_batches(state.padded, self.cfg.batch_size):
+        for batch in iter_user_batches(
+                state.padded, self.cfg.batch_size,
+                bucket_by_length=self.cfg.bucket_by_length):
             rng_key, sub = jax.random.split(rng_key)
             params = self._jit_step(
                 params,

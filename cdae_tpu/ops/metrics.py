@@ -73,8 +73,10 @@ def ranking_user_metrics(
     val_items: jnp.ndarray,  # (B, Lv) int32, padded
     val_ratings: jnp.ndarray,  # (B, Lv) float32 relevances
     val_mask: jnp.ndarray,  # (B, Lv) bool
+    rel_threshold: float = 4.0,  # relevance cut for a "hit" (ref >=4)
 ) -> jnp.ndarray:
-    """Per-user (B, 8) rows in RANKING_COLUMNS order (rel>=4 counts a hit)."""
+    """Per-user (B, 8) rows in RANKING_COLUMNS order (rel>=threshold counts
+    a hit; the reference hardcodes 4, ref evaluation.hpp:309-331)."""
     member = _membership(rec[:, :10], val_items, val_mask)
     # relevance of each recommended item (0 if not in validation set)
     eq = jnp.logical_and(
@@ -102,7 +104,7 @@ def ranking_user_metrics(
     idcg5 = jnp.sum(igains[:, :5], axis=1)
     idcg10 = jnp.sum(igains, axis=1)
 
-    relevant = jnp.logical_and(member, rel >= 4.0).astype(jnp.float32)
+    relevant = jnp.logical_and(member, rel >= rel_threshold).astype(jnp.float32)
     hit_cum = jnp.cumsum(relevant, axis=1)
     hit5 = hit_cum[:, 4]
     hit10 = hit_cum[:, 9]
@@ -112,7 +114,8 @@ def ranking_user_metrics(
     map10 = jnp.sum(prec_at_rank, axis=1)
 
     num_rels = jnp.sum(
-        jnp.logical_and(val_mask, val_ratings >= 4.0).astype(jnp.float32), axis=1
+        jnp.logical_and(val_mask, val_ratings >= rel_threshold).astype(jnp.float32),
+        axis=1
     )
     has_rel = (num_rels > 0).astype(jnp.float32)
     num_rels_safe = jnp.maximum(num_rels, 1.0)

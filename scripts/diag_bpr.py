@@ -7,10 +7,13 @@ axon worker (>60s device programs do; see CLAUDE.md).
 usage: python scripts/diag_bpr.py [--batch 1024] [--scatter matmul]
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):

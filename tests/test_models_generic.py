@@ -137,6 +137,73 @@ def test_negmf_learns(splits):
     assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
 
 
+def test_fism_pair_gradients_match_autodiff(splits):
+    """The hand-derived FISMPair update (models/fism._fism_pair_step — incl.
+    the k≠i self-term subtraction in the P gradient) must equal autodiff of
+    the explicit pair objective with x̃_i = Σ_{k∈R_u} p_k − p_i, at λ=0 with
+    plain SGD (ROADMAP: dedicated gradient test for the rebuilt model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdae_tpu.models.fism import FISMPair, _fism_pair_step, _scales
+    from cdae_tpu.ops import sampling
+    from cdae_tpu.ops.losses import Loss
+
+    train, _ = splits
+    cfg_kw = dict(num_dim=4, num_neg=2, loss="LOG", lambda_=0.0,
+                  using_adagrad=False, batch_size=8)
+    model = FISMPair(FISMConfig(**cfg_kw))
+    state = model.reset(train, seed=3)
+    pb = state.padded
+    B = 8
+    uids = jnp.arange(B, dtype=jnp.int32)
+    items = jnp.asarray(pb.items[:B])
+    mask = jnp.asarray(pb.mask[:B])
+    lengths = jnp.asarray(pb.lengths[:B])
+    weight = jnp.ones((B,), jnp.float32)
+    key = jax.random.PRNGKey(9)
+    lr = 1e-3
+
+    p0 = {k: v.copy() for k, v in state.params.items()}
+    p1 = _fism_pair_step(
+        {k: v.copy() for k, v in p0.items()}, uids, items, mask, lengths,
+        weight, lr, key, cfg=model.cfg, loss=model.loss,
+    )
+
+    # replicate the step's negative draws, then autodiff the objective
+    I, D = p0["P"].shape
+    L = items.shape[1]
+    nn = model.cfg.num_neg
+    neg = sampling.sample_unrated(key, items, lengths, I, nn * L)
+    neg_valid = (neg.reshape(B, nn, L) < I).astype(jnp.float32)
+    neg_c = jnp.clip(neg.reshape(B, nn, L), 0, I - 1)
+    items_c = jnp.clip(items, 0, I - 1)
+    mask_f = mask.astype(jnp.float32)
+    s_rated, _ = _scales(lengths, model.cfg.alpha, jnp.float32)
+    loss = Loss.create("LOG")
+
+    def objective(P, Q, bi):
+        x = jnp.einsum("bl,bld->bd", mask_f, P[items_c])
+        xt = x[:, None, :] - P[items_c]  # (B, L, D)
+        pred_i = (bi[items_c]
+                  + jnp.einsum("bld,bld->bl", xt, Q[items_c])
+                  * s_rated[:, None])
+        pred_j = (bi[neg_c]
+                  + jnp.einsum("bld,bnld->bnl", xt, Q[neg_c])
+                  * s_rated[:, None, None])
+        diff = pred_i[:, None, :] - pred_j
+        return jnp.sum(loss.evaluate(diff, 1.0)
+                       * mask_f[:, None, :] * neg_valid)
+
+    gP, gQ, gbi = jax.grad(objective, argnums=(0, 1, 2))(
+        p0["P"], p0["Q"], p0["bi"]
+    )
+    for name, g in (("P", gP), ("Q", gQ), ("bi", gbi)):
+        got = np.asarray((p0[name] - p1[name]) / lr)
+        np.testing.assert_allclose(got, np.asarray(g), rtol=2e-3, atol=2e-5,
+                                   err_msg=name)
+
+
 def test_grouped_instances_from_interactions(splits):
     train, _ = splits
     gi = GroupedInstances.from_interactions(train)

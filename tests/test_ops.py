@@ -285,6 +285,25 @@ def test_ranking_metrics_match_reference_loop():
         np.testing.assert_allclose(rows[b], want, rtol=1e-4, atol=1e-5)
 
 
+def test_ranking_rel_threshold_knob():
+    """rel_threshold (TPU-build knob; the reference hardcodes >=4) moves
+    the hit cut: relevance-3 items count at threshold 3, not at 4."""
+    rec = jnp.asarray([[0, 1, 2, 3, 4, 5, 6, 7, 8, 9]], dtype=jnp.int32)
+    val_items = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    val_ratings = jnp.asarray([[3.0, 3.0, 3.0]])
+    val_mask = jnp.ones((1, 3), dtype=bool)
+    at4 = np.asarray(metrics.ranking_user_metrics(
+        rec, val_items, val_ratings, val_mask))
+    at3 = np.asarray(metrics.ranking_user_metrics(
+        rec, val_items, val_ratings, val_mask, rel_threshold=3.0))
+    i_p10 = metrics.RANKING_COLUMNS.index("Prec@10")
+    assert at4[0, i_p10] == 0.0
+    assert at3[0, i_p10] == pytest.approx(0.3)
+    # NDCG ignores the threshold (gain = 2^rel - 1 regardless)
+    i_ndcg = metrics.RANKING_COLUMNS.index("NDCG@10")
+    assert at4[0, i_ndcg] == pytest.approx(at3[0, i_ndcg])
+
+
 def test_rmse_mae():
     p = jnp.array([1.0, 2.0, 3.0])
     l = jnp.array([1.0, 1.0, 5.0])
