@@ -52,7 +52,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_cache_file", default="./yelp.train.bin")
     p.add_argument("--test_cache_file", default="./yelp.test.bin")
     p.add_argument("--task", default="train",
-                   choices=["prepare", "split", "train", "test"])
+                   choices=["prepare", "split", "train", "test", "sweep"])
     p.add_argument("--seed", type=int, default=20141119)
     p.add_argument("--method", default="NONE")
     p.add_argument("--num_dim", type=int, default=10)
@@ -97,6 +97,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="write --checkpoint every N iterations (exact-"
                         "resume checkpoints; 0 = only at the end)")
+    p.add_argument("--sweep_limit", type=int, default=0,
+                   help="sweep task: run only the first N grid points")
     p.add_argument("--trace_dir", default="",
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--dense_mode", default="auto",
@@ -213,6 +215,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         logger.info("train %s / test %s", train, test)
         data_io.save_interactions(train, args.train_cache_file)
         data_io.save_interactions(test, args.test_cache_file)
+        return 0
+
+    if args.task == "sweep":
+        # the reference's qsub grid (apps/yelp/cdae.sh) as one sequential run
+        from cdae_tpu.sweep import run_sweep
+
+        data = data_io.load_interactions(args.cache_file)
+        logger.info("loaded %s", data)
+        train, test = data.split_by_user(args.test_ratio, seed=args.seed)
+        run_sweep(train, test, iters=args.max_iters,
+                  batch_size=args.batch_size, seed=args.seed,
+                  limit=args.sweep_limit)
         return 0
 
     # train/test tasks need the splits (the reference's intended — not

@@ -91,9 +91,11 @@ def factored_matmul_scatter_add(
     oh_hi = (hi[:, None] == jax.lax.iota(jnp.int32, H)[None, :]).astype(vd)
     oh_lo = (lo[:, None] == jax.lax.iota(jnp.int32, c)[None, :]).astype(vd)
     oh_lo = oh_lo * valid[:, None].astype(vd)  # -1 % c == c-1: mask it out
-    rhs = (oh_lo[:, :, None] * vals.astype(vd)[:, None, :]).reshape(
-        P, c * D
-    )
+    # barrier: without it XLA fuses the vals PRODUCER into the (P, C·D)
+    # broadcast and recomputes it per lo-lane — measured 3x end-to-end
+    # regression on FISM, whose vals are themselves gather+einsum chains
+    vals = jax.lax.optimization_barrier(vals.astype(vd))
+    rhs = (oh_lo[:, :, None] * vals[:, None, :]).reshape(P, c * D)
     out = jnp.einsum(
         "ph,pk->hk", oh_hi, rhs, preferred_element_type=jnp.float32
     ).reshape(H * c, D)[:num_rows]

@@ -13,8 +13,6 @@ Usage:
 """
 
 import argparse
-import itertools
-import json
 import os
 import sys
 
@@ -35,11 +33,8 @@ def main() -> int:
                     help="run only the first N grid points (0 = all)")
     args = ap.parse_args()
 
-    import jax
-
     from cdae_tpu.data import io as data_io
-    from cdae_tpu.evaluation import Evaluation
-    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+    from cdae_tpu.sweep import run_sweep
 
     if args.synthetic or not args.cache_file:
         from cdae_tpu.data.synthetic import lowrank_interactions
@@ -51,37 +46,8 @@ def main() -> int:
     train, test = data.split_by_user(0.2, seed=args.seed)
     print(f"# {data} -> train {len(train)} / test {len(test)}",
           file=sys.stderr)
-
-    # the exact loops of cdae.sh:3-25
-    grid = itertools.product(
-        (False, True),                     # SCALE
-        (True, False),                     # USER_FACTOR
-        (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),   # RATIO
-        (False, True),                     # LINEAR
-        (True, False),                     # ASYM
-        ("SQUARE", "CE"),                  # LOSS
-    )
-    ev = Evaluation.create("TOPN")
-    for n, (scale, uf, ratio, linear, asym, loss) in enumerate(grid):
-        if args.limit and n >= args.limit:
-            break
-        cfg = CDAEConfig(
-            learn_rate=0.1, num_dim=50, num_corruptions=1,
-            corruption_ratio=ratio, using_adagrad=True, asymmetric=asym,
-            linear=linear, scaled=scale, user_factor=uf, loss=loss,
-            beta=1.0, linear_function=False, tanh=False, num_neg=5,
-            lambda_=0.01, batch_size=args.batch_size,
-        )
-        model = CDAE(cfg)
-        state = model.reset(train, seed=args.seed)
-        state = model.train_epochs(state, args.iters,
-                                   jax.random.PRNGKey(args.seed))
-        res = ev.evaluate(model, state, test, train)
-        print(json.dumps({
-            "scaled": scale, "user_factor": uf, "cratio": ratio,
-            "linear": linear, "asym": asym, "loss": loss,
-            "R@10": round(res["R@10"], 5), "MAP@10": round(res["MAP@10"], 5),
-        }), flush=True)
+    run_sweep(train, test, iters=args.iters, batch_size=args.batch_size,
+              seed=args.seed, limit=args.limit)
     return 0
 
 
