@@ -88,10 +88,14 @@ def main():
     data = synthetic_interactions(U, I, deg)
 
     def measure(fused: bool) -> float:
+        import jax.numpy as _jnp
+
         model = CDAE(CDAEConfig(
             num_dim=dim, learn_rate=0.1, lambda_=0.01, loss="SQUARE",
             corruption_ratio=0.5, scaled=True, num_neg=5, user_factor=True,
             batch_size=batch,
+            compute_dtype=(_jnp.bfloat16
+                           if os.environ.get("BENCH_BF16") else None),
         ))
         state = model.reset(data, seed=0)
         key = jax.random.PRNGKey(0)

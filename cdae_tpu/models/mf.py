@@ -657,9 +657,11 @@ class WARP(_MFBase):
         v = jax.random.randint(k2, (B, nn), 0,
                                jnp.maximum(nviol, 1)[:, None])
         cumviol = jnp.cumsum(viol.astype(jnp.int32), axis=1)  # (B, I)
-        j = jnp.sum(
-            (cumviol[:, :, None] <= v[:, None, :]).astype(jnp.int32), axis=1
-        )  # (B, nn) index of the (v+1)-th violator
+        # index of the (v+1)-th violator = first idx with cumviol > v.
+        # A batched bisection over the monotone cumviol rows costs
+        # ceil(log2 I)+1 (B, nn) gathers — the one-shot compare+reduce
+        # alternative materializes (B, I, nn), 76M elements at bench shapes
+        j = _rank_select_first_gt(cumviol, v)
         j = jnp.clip(j, 0, I - 1)
         items_left = jnp.maximum(I - lengths, 1)
         l_tab = _warp_harmonic(I)
@@ -704,6 +706,28 @@ class WARP(_MFBase):
             update_bias=False,  # ref warp.hpp:90-117 bias updates commented out
         )
         return _adagrad_apply(params, grads, cfg)
+
+
+def _rank_select_first_gt(cum: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Per-row first index where the nondecreasing ``cum`` row exceeds v.
+
+    cum: (B, I) int32 cumulative counts; v: (B, K) int32 targets.
+    Batched bisection: ceil(log2 I)+1 rounds of (B, K) take_along_axis
+    gathers — no (B, I, K) broadcast."""
+    I = cum.shape[1]
+    bits = int(np.ceil(np.log2(max(I, 2)))) + 1
+    lo = jnp.zeros_like(v)
+    hi = jnp.full_like(v, I)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.clip((lo + hi) // 2, 0, I - 1)
+        c = jnp.take_along_axis(cum, mid, axis=1)  # (B, K)
+        gt = c > v
+        return jnp.where(gt, lo, mid + 1), jnp.where(gt, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, bits, body, (lo, hi))
+    return lo
 
 
 @functools.lru_cache(maxsize=8)

@@ -385,6 +385,27 @@ def test_matmul_scatter_add_matches_numpy():
     np.testing.assert_allclose(np.asarray(out1), ref1, rtol=1e-6, atol=1e-6)
 
 
+def test_rank_select_first_gt_matches_naive():
+    """Batched bisection (models/mf._rank_select_first_gt) == the one-shot
+    count formula Σ_i (cum_i <= v) on monotone rows, incl. the none-found
+    (j == I) case WARP zero-weights."""
+    import jax.numpy as jnp
+
+    from cdae_tpu.models.mf import _rank_select_first_gt
+
+    rng = np.random.default_rng(5)
+    B, I, K = 7, 53, 4
+    flags = rng.integers(0, 2, size=(B, I))
+    cum = np.cumsum(flags, axis=1).astype(np.int32)
+    v = rng.integers(0, np.maximum(cum[:, -1:], 1), size=(B, K)).astype(
+        np.int32
+    )
+    v[0, 0] = cum[0, -1]  # none-found: cum never exceeds -> I
+    got = np.asarray(_rank_select_first_gt(jnp.asarray(cum), jnp.asarray(v)))
+    want = np.sum(cum[:, :, None] <= v[:, None, :], axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_factored_scatter_add_matches_numpy():
     """Two-level one-hot aggregation == np.add.at for every C decomposition,
     incl. the sentinel (id == num_rows) and a non-divisible num_rows."""
