@@ -79,6 +79,14 @@ class FISM(RecsysModel):
 
     def __init__(self, config: Optional[FISMConfig] = None, **kw):
         self.cfg = config if config is not None else FISMConfig(**kw)
+        if self.cfg.scatter_mode == "auto" and jax.default_backend() == "tpu":
+            # measured (BASELINE.md r2): at FISM's P = B·L·(1+nn) row counts
+            # the flat pallas one-hot beats the factored two-level matmul
+            # end-to-end (1.5k vs 4.2k users/s at ML-1M shapes), opposite of
+            # the per-pair models — pin the winner instead of the global auto
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, scatter_mode="pallas")
         self.loss = Loss.create(self.cfg.loss)
         self.penalty = Penalty.create(self.cfg.penalty)
         self._lr = self.cfg.learn_rate

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--seconds", type=float, default=12.0)
     ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--no_bucket", action="store_true",
+                    help="FISM: disable length-bucketed batches")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +77,9 @@ def main():
             model = cls(cfg)
         elif name == "FISM":
             model = fism_mod.FISM(fism_mod.FISMConfig(
-                num_dim=args.dim, batch_size=args.batch))
+                num_dim=args.dim, batch_size=args.batch,
+                scatter_mode=args.scatter,
+                bucket_by_length=not args.no_bucket))
         elif name == "NegMF":
             from cdae_tpu.models.linear import FactorModelConfig, NegMF
             model = NegMF(FactorModelConfig(
