@@ -32,6 +32,20 @@ import numpy as np
 # measured via csrc/baseline_cdae.cpp on this container's CPU (2026-08-16):
 # {"users_per_sec": 3219.38, U=6040, I=3706, deg=160, dim=50}
 BASELINE_USERS_PER_SEC = 3219.0
+# the CPU the constant was measured on — if the container migrates to a
+# different part, the frozen baseline silently skews vs_baseline, so warn
+BASELINE_CPU_MODEL = "Intel(R) Xeon(R) Processor @ 2.60GHz"
+
+
+def _cpu_model() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown"
 
 
 def synthetic_interactions(num_users, num_items, avg_degree, seed=20141119):
@@ -80,6 +94,11 @@ def main():
     if os.environ.get("BENCH_MEASURE_BASELINE"):
         baseline = measure_baseline(U, I, deg, dim)
         print(f"# measured baseline: {baseline:.1f} users/s", file=sys.stderr)
+    elif _cpu_model() != BASELINE_CPU_MODEL:
+        print(f"# WARNING: host CPU is {_cpu_model()!r}, baseline constant "
+              f"was measured on {BASELINE_CPU_MODEL!r} — vs_baseline may be "
+              "skewed; set BENCH_MEASURE_BASELINE=1 to re-measure",
+              file=sys.stderr)
 
     import jax
 

@@ -172,3 +172,19 @@ def test_sharded_checkpoint_roundtrip(tmp_path, movielens_path):
             np.asarray(state.params[k]), np.asarray(state2.params[k])
         )
         assert state2.params[k].sharding == state.params[k].sharding
+
+
+def test_sweep_paper_grid_matches_reference_script():
+    """paper_grid must enumerate ref apps/yelp/cdae.sh:3-25 exactly:
+    192 points, loops nested in script order (LOSS innermost)."""
+    from cdae_tpu.sweep import paper_grid
+
+    grid = list(paper_grid())
+    assert len(grid) == 2 * 2 * 6 * 2 * 2 * 2
+    assert grid[0] == dict(scaled=False, user_factor=True, cratio=0.0,
+                           linear=False, asym=True, loss="SQUARE")
+    assert grid[1]["loss"] == "CE"  # LOSS is the innermost loop
+    assert grid[2]["asym"] is False  # then ASYM
+    # every point unique
+    keys = {tuple(sorted(g.items())) for g in grid}
+    assert len(keys) == len(grid)
