@@ -44,6 +44,13 @@ GRID = [
     ("cratio=0.0", [], {"corruption_ratio": 0.0}),
     ("cratio=0.8", [], {"corruption_ratio": 0.8}),
     ("cratio=1.0", [], {"corruption_ratio": 1.0, "batch_size": 16}),
+    # pooled negatives (ROADMAP r2: the huge-catalog sparse-path sampling
+    # rewrite) vs the reference's exact per-user complement sampling: same
+    # expected touch count per unrated item, so the metric must match the
+    # exact-sampling oracle at equal epochs. dense_mode off so the sparse
+    # path (where neg_pool lives) actually runs.
+    ("neg_pool=4096", [],
+     {"neg_pool": 4096, "dense_mode": False, "use_pallas": False}),
 ]
 
 
