@@ -97,6 +97,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="write --checkpoint every N iterations (exact-"
                         "resume checkpoints; 0 = only at the end)")
+    p.add_argument("--guard_nan", type=_booly, default=False,
+                   help="per-iteration finite-params check; restores the "
+                        "last --checkpoint on a non-finite state (in-run "
+                        "fault handling, TPU-build superset)")
     p.add_argument("--sweep_limit", type=int, default=0,
                    help="sweep task: run only the first N grid points")
     p.add_argument("--trace_dir", default="",
@@ -262,7 +266,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     solver = solver_cls(model, max_iteration=args.max_iters,
                         eval_iterations=args.eval_iters, seed=args.seed,
-                        trace_dir=args.trace_dir or None)
+                        trace_dir=args.trace_dir or None,
+                        guard=args.guard_nan)
     if isinstance(solver, SGDSolver):
         solver.learn_rate0 = args.learn_rate
 

@@ -21,12 +21,26 @@ from typing import Dict, List, Optional, Sequence
 
 import jax
 
+import os
+
 from cdae_tpu.data.dataset import Interactions
 from cdae_tpu.evaluation import Evaluation, EvalType
 from cdae_tpu.utils.logging import get_logger
 from cdae_tpu.utils.timer import Timer
 
 logger = get_logger()
+
+
+def _params_finite(params) -> bool:
+    """One fused all-isfinite over every param leaf + a scalar readback."""
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(params)
+    ok = jnp.array(True)
+    for x in leaves:
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x)))
+    return bool(ok)
 
 
 def _fmt_metrics(res: Dict[str, float]) -> str:
@@ -46,6 +60,8 @@ class Solver:
         seed: int = 0,
         verbose: bool = True,
         trace_dir: Optional[str] = None,
+        guard: bool = False,
+        guard_max_restores: int = 1,
     ):
         self.model = model
         self.max_iteration = int(max_iteration)
@@ -53,6 +69,16 @@ class Solver:
         self.seed = seed
         self.verbose = verbose
         self.trace_dir = trace_dir  # jax.profiler trace output (SURVEY §5)
+        # in-run fault handling (SURVEY §5 failure detection; TPU-build
+        # superset — the reference has none): when ``guard`` is on, every
+        # iteration's params are checked finite (one fused all-isfinite +
+        # scalar readback). A non-finite state (transient device fault, bad
+        # collective, overflow) restores the last exact-resume checkpoint —
+        # params, optimizer accumulators, step AND the solver PRNG stream —
+        # and replays from there, up to ``guard_max_restores`` times so a
+        # DETERMINISTIC divergence still surfaces instead of looping.
+        self.guard = bool(guard)
+        self.guard_max_restores = int(guard_max_restores)
         self.state = None
         self.history: List[Dict[str, float]] = []
 
@@ -155,10 +181,34 @@ class Solver:
         from cdae_tpu.utils.profiling import trace
 
         iteration = start_iteration
+        restores = 0
         with trace(self.trace_dir):
             while iteration < self.max_iteration:
                 rng, sub = jax.random.split(rng)
                 self.train_one_iteration(train_data, sub)
+                if self.guard and not _params_finite(self.state.params):
+                    if (checkpoint_path and os.path.exists(checkpoint_path)
+                            and restores < self.guard_max_restores):
+                        restores += 1
+                        ckpt.load_checkpoint(checkpoint_path, self.state,
+                                             expect_fingerprint=fingerprint)
+                        saved = ckpt.checkpoint_rng_key(checkpoint_path)
+                        if saved is not None:
+                            rng = saved
+                        iteration = self.state.step
+                        self._log(
+                            f"non-finite params at iteration "
+                            f"{self.state.step}; restored {checkpoint_path} "
+                            f"(restore {restores}/"
+                            f"{self.guard_max_restores})"
+                        )
+                        continue
+                    raise RuntimeError(
+                        f"non-finite parameters detected at iteration "
+                        f"{iteration + 1}"
+                        + ("" if not checkpoint_path else
+                           f" after {restores} restore(s)")
+                    )
                 train_loss = self.model.current_loss(self.state)
                 iteration += 1
                 if iteration % self.eval_iterations == 0:
@@ -206,9 +256,11 @@ class SGDSolver(Solver):
         seed: int = 0,
         verbose: bool = True,
         trace_dir: Optional[str] = None,
+        guard: bool = False,
+        guard_max_restores: int = 1,
     ):
         super().__init__(model, max_iteration, eval_iterations, seed, verbose,
-                         trace_dir)
+                         trace_dir, guard, guard_max_restores)
         self.learn_rate0 = learn_rate
         self.lambda_ = lambda_
         self.adaptive = adaptive

@@ -142,3 +142,74 @@ def test_cdae_bfloat16_trains(splits):
     )
     last = solver.history[-1]
     assert np.isfinite(last["train_loss"])
+
+
+class _FaultyCDAE(CDAE):
+    """CDAE that corrupts its params to NaN on selected iterations —
+    simulates a transient device fault for the solver guard tests."""
+
+    def __init__(self, cfg, fault_steps):
+        super().__init__(cfg)
+        self.fault_steps = set(fault_steps)
+        self.calls = 0
+
+    def train_one_iteration(self, state, rng_key):
+        state = super().train_one_iteration(state, rng_key)
+        self.calls += 1
+        if self.calls in self.fault_steps:
+            import jax.numpy as jnp
+
+            state.params["W"] = state.params["W"] * jnp.nan
+        return state
+
+
+def test_guard_restores_from_checkpoint_on_transient_fault(splits, tmp_path):
+    """In-run fault handling (SURVEY §5 superset): a transient NaN state is
+    detected, the last exact-resume checkpoint restored (params + PRNG
+    stream), and training completes with fully finite parameters."""
+    train, test = splits
+    ckpt_path = str(tmp_path / "guard.npz")
+    model = _FaultyCDAE(
+        CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                   num_neg=2, batch_size=16),
+        fault_steps={3},  # fault once, after the step-2 checkpoint
+    )
+    solver = Solver(model, max_iteration=4, eval_iterations=4, seed=0,
+                    verbose=False, guard=True)
+    state = solver.train(train, test, ["TOPN"],
+                         checkpoint_path=ckpt_path, checkpoint_every=2)
+    assert state.step == 4
+    # the faulted iteration was replayed: 4 clean + 1 faulted call
+    assert model.calls == 5
+    for k, v in state.params.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_guard_raises_without_checkpoint(splits):
+    train, test = splits
+    model = _FaultyCDAE(
+        CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                   num_neg=2, batch_size=16),
+        fault_steps={1},
+    )
+    solver = Solver(model, max_iteration=2, eval_iterations=2, seed=0,
+                    verbose=False, guard=True)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        solver.train(train, test, ["TOPN"])
+
+
+def test_guard_surfaces_deterministic_divergence(splits, tmp_path):
+    """A fault that reproduces after every restore must raise once the
+    restore budget is spent — never loop forever."""
+    train, test = splits
+    ckpt_path = str(tmp_path / "guard2.npz")
+    model = _FaultyCDAE(
+        CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                   num_neg=2, batch_size=16),
+        fault_steps={3, 4, 5, 6},  # every replay of step 3 faults again
+    )
+    solver = Solver(model, max_iteration=4, eval_iterations=4, seed=0,
+                    verbose=False, guard=True, guard_max_restores=2)
+    with pytest.raises(RuntimeError, match="restore"):
+        solver.train(train, test, ["TOPN"],
+                     checkpoint_path=ckpt_path, checkpoint_every=2)
