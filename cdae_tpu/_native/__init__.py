@@ -71,8 +71,46 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
     ]
+    lib.cdae_dynamic_parallel_for.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        CHUNK_FN, ctypes.c_void_p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
+
+
+CHUNK_FN = ctypes.CFUNCTYPE(None, ctypes.c_int64, ctypes.c_int64,
+                            ctypes.c_void_p)
+
+
+def dynamic_parallel_for(start: int, end: int, chunk_fn, grain: int = 1,
+                         num_threads: int = 0) -> bool:
+    """Native dynamic work-queue parallel_for (the reference ThreadPool's
+    scheduling semantics, thread_pool-inl.hpp:5-58): C worker threads pull
+    [lo, hi) chunks off an atomic counter — per-chunk cost skew balances
+    dynamically. ``chunk_fn(lo, hi)`` is invoked from NATIVE threads: a
+    Python callable re-acquires the GIL on entry, so real speedup needs the
+    body to release it (numpy ops, IO); pure-Python bodies get dynamic
+    scheduling but GIL-serialized execution (documented host limitation).
+    Returns False if the native library is unavailable (caller falls back).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    err: list = []
+
+    @CHUNK_FN
+    def _cb(lo, hi, _ctx):
+        try:
+            chunk_fn(int(lo), int(hi))
+        except BaseException as e:  # noqa: BLE001 — never unwind into C
+            err.append(e)
+
+    lib.cdae_dynamic_parallel_for(start, end, max(int(grain), 1), _cb, None,
+                                  num_threads)
+    if err:
+        raise err[0]
+    return True
 
 
 def available() -> bool:

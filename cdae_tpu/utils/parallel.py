@@ -58,7 +58,28 @@ def parallel_for_each(items: Sequence[T], fn: Callable[[T], None],
 
 def dynamic_parallel_for(start: int, end: int, fn: Callable[[int], None],
                          num_threads: int = 0) -> None:
+    """Work-queue scheduling (ref parallel_lambda.hpp:189-212).
+
+    Routes through the NATIVE dynamic pool (csrc cdae_dynamic_parallel_for
+    — C threads pulling chunks off an atomic counter, the reference
+    ThreadPool's semantics) when the library is present; otherwise a
+    ThreadPoolExecutor queue. Either way the BODY runs under the GIL unless
+    it releases it (numpy/IO) — for CPU-bound pure-Python work this gives
+    scheduling parity, not speedup (the native data paths — text parsing,
+    CSR builds — run fully native instead)."""
+    if end <= start:
+        return
+    from cdae_tpu import _native
+
+    def chunk(lo: int, hi: int) -> None:
+        for i in range(lo, hi):
+            fn(i)
+
     n = num_threads or num_hardware_threads()
+    grain = max(1, (end - start) // (8 * n))
+    if _native.dynamic_parallel_for(start, end, chunk, grain=grain,
+                                    num_threads=n):
+        return
     with ThreadPoolExecutor(max_workers=n) as ex:
         list(ex.map(fn, range(start, end)))
 

@@ -270,4 +270,38 @@ void cdae_build_csr(const int32_t* keys, const int32_t* vals,
   for (auto& th : threads) th.join();
 }
 
+// Dynamic work-queue parallel_for: the TRUE equivalent of the reference's
+// ThreadPool / dynamic_parallel_for (src/base/parallel/thread_pool-inl.hpp,
+// parallel_lambda.hpp:189-212) — workers pull [lo, hi) chunks off an atomic
+// counter, so skewed per-chunk costs balance dynamically, with no GIL
+// involved for native callbacks. Python's utils/parallel.py routes here for
+// GIL-releasing (numpy/IO) workloads.
+typedef void (*cdae_chunk_fn)(int64_t lo, int64_t hi, void* ctx);
+
+void cdae_dynamic_parallel_for(int64_t start, int64_t end, int64_t grain,
+                               cdae_chunk_fn fn, void* ctx,
+                               int num_threads) {
+  if (end <= start) return;
+  if (grain < 1) grain = 1;
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  int64_t total = end - start;
+  if (nt < 2 || total <= grain) {
+    fn(start, end, ctx);
+    return;
+  }
+  std::atomic<int64_t> next(start);
+  auto worker = [&] {
+    for (;;) {
+      int64_t lo = next.fetch_add(grain);
+      if (lo >= end) return;
+      fn(lo, std::min(lo + grain, end), ctx);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

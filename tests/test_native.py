@@ -75,3 +75,42 @@ def test_native_csr_matches_numpy():
         indptr[1:], np.cumsum(np.bincount(k, minlength=40))
     )
     assert indptr[0] == 0
+
+
+def test_native_dynamic_parallel_for_covers_range_and_raises():
+    """cdae_dynamic_parallel_for: every index visited exactly once across
+    chunk pulls (atomic-counter scheduling), exceptions propagate, and the
+    utils wrapper routes through it."""
+    import numpy as np
+
+    from cdae_tpu import _native
+    from cdae_tpu.utils.parallel import dynamic_parallel_for
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    hits = np.zeros(10_000, np.int64)
+
+    def chunk(lo, hi):
+        hits[lo:hi] += 1  # numpy slice add releases the GIL
+
+    assert _native.dynamic_parallel_for(0, 10_000, chunk, grain=97)
+    assert (hits == 1).all()
+
+    # empty and sub-grain ranges
+    assert _native.dynamic_parallel_for(5, 5, chunk)
+    assert _native.dynamic_parallel_for(0, 3, chunk, grain=1000)
+
+    def boom(lo, hi):
+        raise ValueError("chunk failure")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="chunk failure"):
+        _native.dynamic_parallel_for(0, 100, boom, grain=10)
+
+    out = np.zeros(777, np.int64)
+    dynamic_parallel_for(0, 777, lambda i: out.__setitem__(i, 1))
+    assert out.sum() == 777
