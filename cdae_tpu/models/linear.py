@@ -375,7 +375,8 @@ class NegMF(FactorModel):
     # epoch): the per-batch host loop pays a dispatch + transfer per batch,
     # which over a tunneled device leaves the chip idle. Shuffle, negative
     # sampling (ref neg_mf.hpp:79-95), and every FM update run in one scan.
-    def _build_epoch(self, num_batches: int, I: int, i_off: int):
+    def _epoch_fn(self, num_batches: int, I: int, i_off: int,
+                  constrain=None):
         cfg, loss = self.cfg, self.loss
         bs = cfg.batch_size
         nn = max(cfg.num_neg, 0)
@@ -403,6 +404,8 @@ class NegMF(FactorModel):
             def body(carry, inp):
                 params, key = carry
                 sel, w = inp
+                if constrain is not None:  # shard the minibatch ('data' DP)
+                    sel, w = constrain(sel), constrain(w)
                 u = users[sel]
                 it = items[sel]
                 key, sub = jax.random.split(key)
@@ -450,7 +453,11 @@ class NegMF(FactorModel):
                                           (sel_mat, w_mat))
             return params
 
-        return jax.jit(epoch, donate_argnums=(0,))
+        return epoch
+
+    def _build_epoch(self, num_batches: int, I: int, i_off: int):
+        return jax.jit(self._epoch_fn(num_batches, I, i_off),
+                       donate_argnums=(0,))
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
         gi: GroupedInstances = state.aux["instances"]

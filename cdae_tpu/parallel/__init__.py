@@ -9,11 +9,13 @@ __all__ = [
     "ShardedCDAE",
     "ShardedIMF",
     "ShardedPairwise",
+    "ShardedNegMF",
 ]
 
 
 def __getattr__(name):  # lazy: trainer pulls in the model zoo
-    if name in ("ShardedCDAE", "ShardedIMF", "ShardedPairwise"):
+    if name in ("ShardedCDAE", "ShardedIMF", "ShardedPairwise",
+                "ShardedNegMF"):
         from cdae_tpu.parallel import trainer
 
         return getattr(trainer, name)

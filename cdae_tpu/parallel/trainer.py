@@ -247,6 +247,88 @@ class ShardedIMF(RecsysModel):
         return self.inner.predict(state, users, items)
 
 
+class ShardedNegMF(RecsysModel):
+    """DP trainer for NegMF's fused scan epoch (per-instance independence,
+    ref neg_mf.hpp:79-95): params replicate, each minibatch is constrained
+    onto 'data', the FM scatter-gradients reduce with one psum per batch."""
+
+    name = "ShardedNegMF"
+
+    def __init__(self, inner=None, mesh: Optional[Mesh] = None, **kw):
+        from cdae_tpu.models.linear import FactorModelConfig, NegMF
+
+        if inner is None:
+            inner = NegMF(FactorModelConfig(**kw)) if kw else NegMF()
+        if not isinstance(inner, NegMF):
+            raise TypeError(f"ShardedNegMF wraps NegMF, got {type(inner)}")
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.loss = inner.loss
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._jit_epoch = None
+        self._epoch_batches = -1
+
+    def _constrain(self, x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data") if x.ndim == 1
+                             else P("data", *([None] * (x.ndim - 1))))
+        )
+
+    def reset(self, data: Interactions, seed: int = 0):
+        state = self.inner.reset(data, seed)
+        rep = NamedSharding(self.mesh, P())
+        state.params = {k: jax.device_put(v, rep)
+                        for k, v in state.params.items()}
+        self._jit_epoch = None
+        return state
+
+    def train_one_iteration(self, state, rng_key):
+        gi = state.aux["instances"]
+        n = len(gi)
+        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        if self._jit_epoch is None or self._epoch_batches != num_batches:
+            fn = self.inner._epoch_fn(
+                num_batches, state.num_items, int(gi.group_dims[0]),
+                constrain=self._constrain,
+            )
+            self._jit_epoch = jax.jit(fn, donate_argnums=(0,))
+            self._epoch_batches = num_batches
+        if "sharded_device_data" not in state.aux:
+            rep = NamedSharding(self.mesh, P())
+            users, items = state.aux["coo"]
+            pb = state.padded
+            state.aux["sharded_device_data"] = tuple(
+                jax.device_put(np.asarray(a), rep)
+                for a in (users, items, pb.items, pb.lengths)
+            )
+        du, di, dpi, dpl = state.aux["sharded_device_data"]
+        import jax.numpy as jnp
+
+        state.params = self._jit_epoch(
+            state.params, du, di, dpi, dpl,
+            jnp.asarray(state.aux["global_mean"], self.cfg.dtype),
+            jnp.asarray(self.inner._lr, self.cfg.dtype),
+            rng_key,
+        )
+        state.step += 1
+        return state
+
+    def set_learn_rate(self, lr: float) -> None:
+        self.inner.set_learn_rate(lr)
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self.inner.batch_scores(state, uids, rated_items, rated_mask)
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)
+
+
 class ShardedPairwise(RecsysModel):
     """DP trainer for the sparse/fused-epoch MF family (BPR/WARP/IMF/PMF):
     the per-interaction independence of the pairwise updates (ref

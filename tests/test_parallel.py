@@ -286,3 +286,31 @@ def test_sharded_pairwise_matches_single(mesh, model_name):
     got = ev.evaluate(sharded, m_state, test, train)
     want = ev.evaluate(single, s_state, test, train)
     assert abs(got["R@10"] - want["R@10"]) < 1e-5
+
+
+def test_sharded_negmf_matches_single(mesh):
+    """ShardedNegMF: same key stream as single-chip NegMF's fused epoch,
+    params match up to psum summation order."""
+    from cdae_tpu.models.linear import FactorModelConfig, NegMF
+    from cdae_tpu.parallel.trainer import ShardedNegMF
+
+    data = _tiny(num_users=48, num_items=64, seed=9)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = FactorModelConfig(num_dim=6, num_neg=2, loss="LOG",
+                            batch_size=32, using_global_mean=False)
+
+    single = NegMF(cfg)
+    s_state = single.reset(train, seed=0)
+    sharded = ShardedNegMF(NegMF(cfg), mesh=mesh)
+    m_state = sharded.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(4)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = sharded.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
