@@ -62,6 +62,9 @@ class FISMConfig:
     # item axis to the next pow-2 of its longest row: the sampling draws
     # num_neg·L per user, so padding to the GLOBAL max wasted ~6x at ML-1M
     # degree skew (ROADMAP r2); pow-2 bucketing bounds compile variants
+    dense_mode: Optional[bool] = None  # full-catalog (B, I) slab step: every
+    # gather/scatter becomes an MXU matmul (see _fism_dense_step). None =
+    # auto when the (U, I) rated mask + (B, I) slabs fit the HBM budget.
     dtype: Any = jnp.float32
 
 
@@ -93,6 +96,11 @@ class FISM(RecsysModel):
         step = _fism_pair_step if self.pairwise else _fism_step
         self._jit_step = jax.jit(
             functools.partial(step, cfg=self.cfg, loss=self.loss),
+            donate_argnums=(0,),
+        )
+        self._jit_dense_step = None if self.pairwise else jax.jit(
+            functools.partial(_fism_dense_step, cfg=self.cfg,
+                              loss=self.loss),
             donate_argnums=(0,),
         )
         self._jit_scores = jax.jit(
@@ -127,10 +135,53 @@ class FISM(RecsysModel):
         state = ModelState(params=params, padded=pb, num_users=U, num_items=I)
         if self.cfg.using_global_mean and len(data):
             state.aux["global_mean"] = float(np.mean(data.ratings))
+        dense = self.cfg.dense_mode
+        if dense is None:
+            dense = (
+                not self.pairwise
+                and U * I <= 1_500_000_000
+                and self.cfg.batch_size * I * 40 <= 4_000_000_000
+            )
+        if dense and not self.pairwise:
+            state.aux["dense_R"] = (
+                jnp.zeros((U, I), jnp.int8)
+                .at[jnp.asarray(data.users), jnp.asarray(data.items)]
+                .set(1)
+            )
         return state
+
+    def _dense_user_batches(self, state: ModelState):
+        if "dense_batches" not in state.aux:
+            U = state.num_users
+            B = min(self.cfg.batch_size, max(U, 1))
+            k = max(-(-U // B), 1)
+            uids = np.arange(k * B, dtype=np.int32) % U
+            weight = (np.arange(k * B) < U).astype(np.float32)
+            state.aux["dense_batches"] = (
+                jnp.asarray(uids.reshape(k, B)),
+                jnp.asarray(weight.reshape(k, B)),
+            )
+        return state.aux["dense_batches"]
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
         params = state.params
+        if "dense_R" in state.aux and self._jit_dense_step is not None:
+            R = state.aux["dense_R"]
+            uid_mat, w_mat = self._dense_user_batches(state)
+            lr = jnp.asarray(self._lr, self.cfg.dtype)
+            for j in range(uid_mat.shape[0]):
+                rng_key, sub = jax.random.split(rng_key)
+                params = self._jit_dense_step(
+                    params, R, uid_mat[j], w_mat[j], lr, sub
+                )
+            # per-batch x refresh is exact for the batch's users; P rows
+            # shared with OTHER users moved too — one full rebuild per epoch
+            params["x"] = (
+                R.astype(self.cfg.dtype) @ params["P"]
+            )
+            state.params = params
+            state.step += 1
+            return state
         for batch in iter_user_batches(
                 state.padded, self.cfg.batch_size,
                 bucket_by_length=self.cfg.bucket_by_length):
@@ -352,6 +403,78 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
     params = _fism_adagrad(params, grads, lr, cfg)
     if cfg.using_factor_term:
         params["x"] = _refresh_x_rows(params, uids, items, mask_f, w)
+    return params
+
+
+def _fism_dense_step(params, R, uids, weight, lr, key, *, cfg, loss):
+    """Full-catalog dense-slab pointwise FISM step (ref fism.hpp:92-166
+    reformulated for the MXU): with R the (B, I) rated mask and x the
+    per-user cache x_u = Σ_{k∈R_u} p_k, every gather/scatter of the sparse
+    step becomes a matmul —
+
+      pred = bu + bi + (x Qᵀ − R ⊙ Σ_d P⊙Q) · scale       (x̃·q in slab form)
+      dQ   = g̃ᵀ x − diag(Σ_b g̃⊙R) P     (g̃ = loss-grad · touch · scale)
+      dP   = Rᵀ (g̃ Q) − diag(Σ_b g̃⊙R) Q  (self-term k=i excluded exactly)
+
+    Negatives are Bernoulli over the complement with E[count] = num_neg·|R_u|
+    per user — the same expected-touch-preserving substitution the dense IMF
+    path uses (metric parity recorded in BASELINE.md). Per-touch λ terms
+    follow the sparse step's conventions exactly."""
+    dt = params["P"].dtype
+    w_user = weight.astype(dt)  # (B,)
+    rows = R[uids].astype(dt) * w_user[:, None]  # (B, I)
+    I = rows.shape[1]
+    lengths = jnp.sum(rows, axis=1)
+    s_rated, s_unrated = _scales(lengths, cfg.alpha, dt)
+    p_neg = jnp.clip(
+        cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
+    )
+    u01 = jax.random.uniform(key, rows.shape)
+    neg_sel = (
+        (1.0 - rows) * (u01 < p_neg[:, None]).astype(dt) * w_user[:, None]
+    )
+    touch = rows + neg_sel  # (B, I) instances this step
+    x = params["x"][uids]  # (B, D) cache (exact at batch entry)
+    base = x @ params["Q"].T  # (B, I)
+    corr = jnp.sum(params["P"] * params["Q"], axis=1)  # (I,) p_i·q_i
+    scale = jnp.where(rows > 0, s_rated[:, None], s_unrated[:, None])
+    pred = (
+        params["bu"][uids][:, None]
+        + params["bi"][None, :]
+        + (base - rows * corr[None, :]) * scale
+    )
+    labels = jnp.where(rows > 0, loss.positive_label, loss.negative_label)
+    g = loss.gradient(pred, labels) * touch  # (B, I)
+    gs = g * scale  # g̃
+    lam = cfg.lambda_
+    grads = {}
+    if cfg.using_bias_term:
+        grads["bu"] = jnp.zeros_like(params["bu"]).at[uids].add(
+            jnp.sum(g, axis=1) + lam * params["bu"][uids] * w_user
+        )
+        grads["bi"] = (
+            jnp.sum(g, axis=0) + lam * params["bi"] * jnp.sum(touch, axis=0)
+        )
+    if cfg.using_factor_term:
+        touch_i = jnp.sum(touch, axis=0)  # (I,)
+        rated_g = jnp.sum(gs * rows, axis=0)  # (I,) self-term weights
+        grads["Q"] = (
+            gs.T @ x
+            - rated_g[:, None] * params["P"]
+            + lam * params["Q"] * touch_i[:, None]
+        )
+        S_rows = gs @ params["Q"]  # (B, D) Σ_i g̃·q_i per user
+        grads["P"] = (
+            rows.T @ S_rows
+            - rated_g[:, None] * params["Q"]
+            + lam * params["P"] * jnp.sum(rows, axis=0)[:, None]
+        )
+    params = _fism_adagrad(params, grads, lr, cfg)
+    if cfg.using_factor_term:
+        # exact x refresh for the batch's users from the UPDATED P
+        x_new = rows @ params["P"]
+        delta = jnp.where(w_user[:, None] > 0, x_new - params["x"][uids], 0.0)
+        params["x"] = params["x"].at[uids].add(delta, mode="drop")
     return params
 
 

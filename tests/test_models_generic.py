@@ -240,3 +240,83 @@ def test_fism_pair_improves_margins(splits):
         state = model.train_one_iteration(state, jax.random.PRNGKey(i))
     m1 = mean_margin(state)
     assert m1 > m0 + 1e-3, (m0, m1)
+
+
+def test_fism_dense_step_gradients_match_autodiff(splits):
+    """The dense-slab FISM step's matmul-factored gradients (incl. the
+    diag(Σ g̃⊙R) self-term corrections in dQ and dP) must equal autodiff of
+    the explicit slab objective with x recomputed from P, at λ=0 with plain
+    SGD and a FIXED negative-selection mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdae_tpu.models.fism import FISM, _fism_dense_step, _scales
+    from cdae_tpu.ops.losses import Loss
+
+    train, _ = splits
+    cfg = FISMConfig(num_dim=4, num_neg=2, loss="SQUARE", lambda_=0.0,
+                     using_adagrad=False, batch_size=8, dense_mode=True)
+    model = FISM(cfg)
+    state = model.reset(train, seed=2)
+    R = state.aux["dense_R"]
+    B = 8
+    uids = jnp.arange(B, dtype=jnp.int32)
+    weight = jnp.ones((B,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    lr = 1e-3
+
+    p0 = {k: v.copy() for k, v in state.params.items()}
+    p1 = _fism_dense_step(
+        {k: v.copy() for k, v in p0.items()}, R, uids, weight, lr, key,
+        cfg=model.cfg, loss=model.loss,
+    )
+
+    # replicate the step's Bernoulli draw, then autodiff the slab objective
+    rows = R[uids].astype(jnp.float32)
+    I = rows.shape[1]
+    lengths = jnp.sum(rows, axis=1)
+    s_rated, s_unrated = _scales(lengths, cfg.alpha, jnp.float32)
+    p_neg = jnp.clip(cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0),
+                     0.0, 1.0)
+    u01 = jax.random.uniform(key, rows.shape)
+    neg_sel = (1.0 - rows) * (u01 < p_neg[:, None]).astype(jnp.float32)
+    touch = rows + neg_sel
+    scale = jnp.where(rows > 0, s_rated[:, None], s_unrated[:, None])
+    loss = Loss.create("SQUARE")
+    labels = jnp.where(rows > 0, loss.positive_label, loss.negative_label)
+
+    def objective(P, Q, bu, bi):
+        x = rows @ P
+        base = x @ Q.T
+        corr = jnp.sum(P * Q, axis=1)
+        pred = (bu[uids][:, None] + bi[None, :]
+                + (base - rows * corr[None, :]) * scale)
+        return jnp.sum(loss.evaluate(pred, labels) * touch)
+
+    gP, gQ, gbu, gbi = jax.grad(objective, argnums=(0, 1, 2, 3))(
+        p0["P"], p0["Q"], p0["bu"], p0["bi"]
+    )
+    for name, g in (("P", gP), ("Q", gQ), ("bu", gbu), ("bi", gbi)):
+        got = np.asarray((p0[name] - p1[name]) / lr)
+        np.testing.assert_allclose(got, np.asarray(g), rtol=2e-3, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_fism_dense_learns_and_matches_sparse_quality(splits):
+    """Dense-slab FISM reaches the same metric neighborhood as the sparse
+    path at equal epochs (Bernoulli negatives, same expected touches)."""
+    train, test = splits
+    from cdae_tpu.evaluation import Evaluation
+
+    ev = Evaluation.create("TOPN")
+    out = {}
+    for dense in (False, True):
+        model = FISM(FISMConfig(num_dim=8, num_neg=3, learn_rate=0.05,
+                                batch_size=32, dense_mode=dense))
+        solver = SGDSolver(model, max_iteration=10, eval_iterations=10,
+                           learn_rate=0.05, seed=0, verbose=False)
+        solver.train(train, test, ["TOPN"])
+        assert ("dense_R" in solver.state.aux) == dense
+        out[dense] = solver.history[-1]["R@10"]
+    assert out[True] > 0.0
+    assert abs(out[True] - out[False]) < 0.15
