@@ -70,6 +70,9 @@ class FactorModelConfig:
     learn_rate: float = 0.1
     num_neg: int = 5  # NegMF only (ref neg_mf.hpp:16)
     batch_size: int = 4096
+    dense_mode: Optional[bool] = None  # NegMF only: full-catalog (B, I)
+    # slab step (one MXU matmul; see _negmf_dense_step). None = auto when
+    # the (U, I) mask + slabs fit the HBM budget.
     dtype: Any = jnp.float32
 
 
@@ -348,6 +351,73 @@ def _fm_step(params, idx, vals, labels, w, mean, lr, *, cfg, loss, group_of):
     return out
 
 
+def _negmf_dense_step(params, R, uids, weight, mean, lr, key, *, cfg, loss,
+                      i_off):
+    """Full-catalog dense-slab NegMF step: in the 2-group recsys case the
+    FM score is mean + w_u + w_i + v_u·v_i, so the whole (B, I) slab is one
+    MXU matmul and every scatter becomes a column reduction. Negatives are
+    Bernoulli over the complement with E[count] = num_neg·|R_u| per user
+    (the reference draws num_neg per positive, ref neg_mf.hpp:79-95 — same
+    expected touches, the IMF-dense substitution). Per-touch λ follows
+    _fm_step's conventions: each instance regularizes BOTH its touched
+    features."""
+    dt = params["V"].dtype
+    w_user = weight.astype(dt)
+    rows = R[uids].astype(dt) * w_user[:, None]  # (B, I)
+    I = rows.shape[1]
+    lengths = jnp.sum(rows, axis=1)
+    p_neg = jnp.clip(
+        cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
+    )
+    u01 = jax.random.uniform(key, rows.shape)
+    neg_sel = (
+        (1.0 - rows) * (u01 < p_neg[:, None]).astype(dt) * w_user[:, None]
+    )
+    touch = rows + neg_sel
+    neg_label = -1.0 if loss.name in ("LOG", "HINGE") else 0.0
+    labels = jnp.where(rows > 0, loss.positive_label, neg_label)
+
+    Vu = params["V"][uids]  # (B, D)
+    Vi = params["V"][i_off:i_off + I]  # (I, D)
+    wu = params["w"][uids]
+    wi = params["w"][i_off:i_off + I]
+    pred = mean + wu[:, None] + wi[None, :]
+    if cfg.using_factor_term:
+        pred = pred + Vu @ Vi.T
+    g = loss.gradient(pred, labels) * touch  # (B, I)
+    lam = cfg.lambda_
+    touch_u = jnp.sum(touch, axis=1)  # (B,)
+    touch_i = jnp.sum(touch, axis=0)  # (I,)
+    out = dict(params)
+    if cfg.using_bias_term:
+        grad_w = jnp.zeros_like(params["w"])
+        grad_w = grad_w.at[uids].add(jnp.sum(g, axis=1) + lam * wu * touch_u)
+        grad_w = jax.lax.dynamic_update_slice(
+            grad_w,
+            jax.lax.dynamic_slice(grad_w, (i_off,), (I,))
+            + jnp.sum(g, axis=0) + lam * wi * touch_i,
+            (i_off,),
+        )
+        out["w"], out["w_ag"] = _zero_init_adagrad(
+            params["w"], params["w_ag"], grad_w, lr, cfg.using_adagrad
+        )
+    if cfg.using_factor_term:
+        grad_V = jnp.zeros_like(params["V"])
+        grad_V = grad_V.at[uids].add(
+            g @ Vi + lam * Vu * touch_u[:, None]
+        )
+        grad_V = jax.lax.dynamic_update_slice(
+            grad_V,
+            jax.lax.dynamic_slice(grad_V, (i_off, 0), (I, grad_V.shape[1]))
+            + g.T @ Vu + lam * Vi * touch_i[:, None],
+            (i_off, 0),
+        )
+        out["V"], out["V_ag"] = _zero_init_adagrad(
+            params["V"], params["V_ag"], grad_V, lr, cfg.using_adagrad
+        )
+    return out
+
+
 class NegMF(FactorModel):
     """FactorModel + per-positive negative sampling (ref neg_mf.hpp).
     Only defined over recsys (user, item) data; negatives carry label −1
@@ -369,7 +439,39 @@ class NegMF(FactorModel):
         state.padded = data.padded()
         state.aux["coo"] = (data.users, data.items)
         self._jit_epoch = None  # shapes may have changed
+        U, I = state.num_users, state.num_items
+        dense = self.cfg.dense_mode
+        if dense is None:
+            dense = (U * I <= 1_500_000_000
+                     and self.cfg.batch_size * I * 40 <= 4_000_000_000)
+        if dense:
+            state.aux["dense_R"] = (
+                jnp.zeros((U, I), jnp.int8)
+                .at[jnp.asarray(data.users), jnp.asarray(data.items)]
+                .set(1)
+            )
+            gi = state.aux["instances"]
+            self._jit_dense_step = jax.jit(
+                functools.partial(
+                    _negmf_dense_step, cfg=self.cfg, loss=self.loss,
+                    i_off=int(gi.group_dims[0]),
+                ),
+                donate_argnums=(0,),
+            )
         return state
+
+    def _dense_user_batches(self, state: ModelState):
+        if "dense_batches" not in state.aux:
+            U = state.num_users
+            B = min(self.cfg.batch_size, max(U, 1))
+            k = max(-(-U // B), 1)
+            uids = np.arange(k * B, dtype=np.int32) % U
+            weight = (np.arange(k * B) < U).astype(np.float32)
+            state.aux["dense_batches"] = (
+                jnp.asarray(uids.reshape(k, B)),
+                jnp.asarray(weight.reshape(k, B)),
+            )
+        return state.aux["dense_batches"]
 
     # -- epoch: one fused device program (same rationale as _MFBase._build_
     # epoch): the per-batch host loop pays a dispatch + transfer per batch,
@@ -460,6 +562,20 @@ class NegMF(FactorModel):
                        donate_argnums=(0,))
 
     def train_one_iteration(self, state: ModelState, rng_key) -> ModelState:
+        if "dense_R" in state.aux:
+            R = state.aux["dense_R"]
+            uid_mat, w_mat = self._dense_user_batches(state)
+            mean = jnp.asarray(state.aux["global_mean"], self.cfg.dtype)
+            lr = jnp.asarray(self._lr, self.cfg.dtype)
+            params = state.params
+            for j in range(uid_mat.shape[0]):
+                rng_key, sub = jax.random.split(rng_key)
+                params = self._jit_dense_step(
+                    params, R, uid_mat[j], w_mat[j], mean, lr, sub
+                )
+            state.params = params
+            state.step += 1
+            return state
         gi: GroupedInstances = state.aux["instances"]
         n = len(gi)
         num_batches = max(-(-n // self.cfg.batch_size), 1)

@@ -276,6 +276,7 @@ class ShardedNegMF(RecsysModel):
 
     def reset(self, data: Interactions, seed: int = 0):
         state = self.inner.reset(data, seed)
+        state.aux.pop("dense_R", None)  # DP epoch runs the sparse scan path
         rep = NamedSharding(self.mesh, P())
         state.params = {k: jax.device_put(v, rep)
                         for k, v in state.params.items()}

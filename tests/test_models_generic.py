@@ -320,3 +320,68 @@ def test_fism_dense_learns_and_matches_sparse_quality(splits):
         out[dense] = solver.history[-1]["R@10"]
     assert out[True] > 0.0
     assert abs(out[True] - out[False]) < 0.15
+
+
+def test_negmf_dense_step_gradients_match_autodiff(splits):
+    """Dense-slab NegMF gradients (models/linear._negmf_dense_step) == the
+    autodiff of the explicit slab objective at λ=0 with plain SGD and the
+    same fixed Bernoulli negative mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdae_tpu.models.linear import _negmf_dense_step
+    from cdae_tpu.ops.losses import Loss
+
+    train, _ = splits
+    cfg = FactorModelConfig(num_dim=4, num_neg=2, loss="LOG", lambda_=0.0,
+                            using_adagrad=False, batch_size=8,
+                            using_global_mean=False, dense_mode=True)
+    model = NegMF(cfg)
+    state = model.reset(train, seed=1)
+    R = state.aux["dense_R"]
+    i_off = train.num_users
+    B = 8
+    uids = jnp.arange(B, dtype=jnp.int32)
+    weight = jnp.ones((B,), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    lr = 1e-3
+    loss = Loss.create("LOG")
+
+    p0 = {k: v.copy() for k, v in state.params.items()}
+    p1 = _negmf_dense_step(
+        {k: v.copy() for k, v in p0.items()}, R, uids, weight,
+        jnp.float32(0.0), lr, key, cfg=model.cfg, loss=loss, i_off=i_off,
+    )
+
+    rows = R[uids].astype(jnp.float32)
+    I = rows.shape[1]
+    lengths = jnp.sum(rows, axis=1)
+    p_neg = jnp.clip(cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0),
+                     0.0, 1.0)
+    u01 = jax.random.uniform(key, rows.shape)
+    neg_sel = (1.0 - rows) * (u01 < p_neg[:, None]).astype(jnp.float32)
+    touch = rows + neg_sel
+    labels = jnp.where(rows > 0, 1.0, -1.0)
+
+    def objective(w, V):
+        pred = (w[uids][:, None] + w[i_off:i_off + I][None, :]
+                + V[uids] @ V[i_off:i_off + I].T)
+        return jnp.sum(loss.evaluate(pred, labels) * touch)
+
+    gw, gV = jax.grad(objective, argnums=(0, 1))(p0["w"], p0["V"])
+    for name, g in (("w", gw), ("V", gV)):
+        got = np.asarray((p0[name] - p1[name]) / lr)
+        np.testing.assert_allclose(got, np.asarray(g), rtol=2e-3, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_negmf_dense_learns(splits):
+    train, test = splits
+    model = NegMF(FactorModelConfig(num_dim=8, loss="LOG", learn_rate=0.1,
+                                    num_neg=3, batch_size=64,
+                                    dense_mode=True))
+    solver = SGDSolver(model, max_iteration=8, eval_iterations=8,
+                       learn_rate=0.1, seed=0, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert "dense_R" in solver.state.aux
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]

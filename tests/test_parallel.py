@@ -297,7 +297,8 @@ def test_sharded_negmf_matches_single(mesh):
     data = _tiny(num_users=48, num_items=64, seed=9)
     train, _ = data.split_by_user(0.25, seed=1)
     cfg = FactorModelConfig(num_dim=6, num_neg=2, loss="LOG",
-                            batch_size=32, using_global_mean=False)
+                            batch_size=32, using_global_mean=False,
+                            dense_mode=False)  # sharded epoch = sparse path
 
     single = NegMF(cfg)
     s_state = single.reset(train, seed=0)
