@@ -71,8 +71,12 @@ class FactorModelConfig:
     num_neg: int = 5  # NegMF only (ref neg_mf.hpp:16)
     batch_size: int = 4096
     dense_mode: Optional[bool] = None  # NegMF only: full-catalog (B, I)
-    # slab step (one MXU matmul; see _negmf_dense_step). None = auto when
-    # the (U, I) mask + slabs fit the HBM budget.
+    # slab step (one MXU matmul; see _negmf_dense_step). OPT-IN (None=off):
+    # user-slab granularity gives ~30x fewer zero-init-AdaGrad steps per
+    # epoch than the reference's per-instance cadence, so it needs ~3x the
+    # epochs to reach the same R@10 (measured 1200x600: sparse 0.585 @ 20ep;
+    # dense bs64 0.580 @ 60ep = oracle parity) — a throughput trade, not the
+    # default parity path.
     dtype: Any = jnp.float32
 
 
@@ -440,11 +444,7 @@ class NegMF(FactorModel):
         state.aux["coo"] = (data.users, data.items)
         self._jit_epoch = None  # shapes may have changed
         U, I = state.num_users, state.num_items
-        dense = self.cfg.dense_mode
-        if dense is None:
-            dense = (U * I <= 1_500_000_000
-                     and self.cfg.batch_size * I * 40 <= 4_000_000_000)
-        if dense:
+        if self.cfg.dense_mode:
             state.aux["dense_R"] = (
                 jnp.zeros((U, I), jnp.int8)
                 .at[jnp.asarray(data.users), jnp.asarray(data.items)]
