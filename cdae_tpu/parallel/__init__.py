@@ -10,12 +10,13 @@ __all__ = [
     "ShardedIMF",
     "ShardedPairwise",
     "ShardedNegMF",
+    "ShardedFISM",
 ]
 
 
 def __getattr__(name):  # lazy: trainer pulls in the model zoo
     if name in ("ShardedCDAE", "ShardedIMF", "ShardedPairwise",
-                "ShardedNegMF"):
+                "ShardedNegMF", "ShardedFISM"):
         from cdae_tpu.parallel import trainer
 
         return getattr(trainer, name)

@@ -101,8 +101,24 @@ def named(mesh: Mesh, spec: P) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def _fit_spec(mesh: Mesh, spec: P, shape) -> P:
+    """Drop mesh axes a dimension cannot divide (replicate instead) — GSPMD
+    requires divisibility; small/odd tables degrade gracefully."""
+    out = []
+    for d, ax in enumerate(spec):
+        if ax is None:
+            out.append(None)
+        elif d < len(shape) and shape[d] % mesh.shape[ax] == 0:
+            out.append(ax)
+        else:
+            out.append(None)
+    return P(*out)
+
+
 def shard_params(mesh: Mesh, params: Dict, specs: Dict[str, P]) -> Dict:
     return {
-        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        k: jax.device_put(
+            v, NamedSharding(mesh, _fit_spec(mesh, specs[k], v.shape))
+        )
         for k, v in params.items()
     }

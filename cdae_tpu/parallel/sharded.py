@@ -38,7 +38,9 @@ from cdae_tpu.models.cdae import (
     _dense_train_step,
     _train_step,
 )
-from cdae_tpu.parallel.mesh import batch_specs, cdae_param_specs, shard_params
+from cdae_tpu.parallel.mesh import (
+    _fit_spec, batch_specs, cdae_param_specs, shard_params,
+)
 
 
 def make_sharded_train_step(model: CDAE, mesh: Mesh, params: Dict):
@@ -93,7 +95,10 @@ def make_sharded_mf_dense_step(model, mesh: Mesh, params: Dict):
     from cdae_tpu.parallel.mesh import mf_param_specs
 
     pspecs = mf_param_specs(params)
-    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    param_sh = {
+        k: NamedSharding(mesh, _fit_spec(mesh, s, params[k].shape))
+        for k, s in pspecs.items()
+    }
     step = functools.partial(model._dense_step, cfg=model.cfg,
                              loss=model.loss)
     return jax.jit(
@@ -104,6 +109,37 @@ def make_sharded_mf_dense_step(model, mesh: Mesh, params: Dict):
             NamedSharding(mesh, P("data", "model")),  # ratings (or R again)
             NamedSharding(mesh, P("data")),  # uids
             NamedSharding(mesh, P("data")),  # weight
+            NamedSharding(mesh, P()),  # rng key
+        ),
+        out_shardings=param_sh,
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_fism_dense_step(model, mesh: Mesh, params: Dict):
+    """jit the dense-slab FISM step (models/fism._fism_dense_step) under
+    GSPMD: x/bu follow the users axis, P/Q/bi shard over 'model', the
+    (B, I) pred/grad slabs over both — the x·Qᵀ decode and the gsᵀx / RᵀS
+    gradient contractions become sharded MXU matmuls with psums on the
+    contracted axis."""
+    from cdae_tpu.models.fism import _fism_dense_step
+    from cdae_tpu.parallel.mesh import mf_param_specs
+
+    pspecs = mf_param_specs(params)
+    param_sh = {
+        k: NamedSharding(mesh, _fit_spec(mesh, s, params[k].shape))
+        for k, s in pspecs.items()
+    }
+    step = functools.partial(_fism_dense_step, cfg=model.cfg,
+                             loss=model.loss)
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_sh,
+            None,  # dense_R keeps its committed (fitted) placement
+            NamedSharding(mesh, P("data")),  # uids
+            NamedSharding(mesh, P("data")),  # weight
+            NamedSharding(mesh, P()),  # lr
             NamedSharding(mesh, P()),  # rng key
         ),
         out_shardings=param_sh,

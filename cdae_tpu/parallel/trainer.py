@@ -247,6 +247,96 @@ class ShardedIMF(RecsysModel):
         return self.inner.predict(state, users, items)
 
 
+class ShardedFISM(RecsysModel):
+    """Dense-slab FISM over the ('data','model') mesh (pointwise only;
+    x/bu shard over users, P/Q/bi over items, (B, I) slabs over both).
+    Dense mode is mandatory — the sparse per-user step stays single-chip."""
+
+    name = "ShardedFISM"
+
+    def __init__(self, config=None, mesh: Optional[Mesh] = None, **kw):
+        from cdae_tpu.models.fism import FISM, FISMConfig
+
+        cfg = config if config is not None else FISMConfig(**kw)
+        cfg = dataclasses.replace(cfg, dense_mode=True)
+        self.inner = FISM(cfg)
+        self.cfg = self.inner.cfg
+        self.loss = self.inner.loss
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._dense_step = None
+
+    def set_learn_rate(self, lr: float) -> None:
+        self.inner.set_learn_rate(lr)
+
+    def reset(self, data: Interactions, seed: int = 0):
+        from cdae_tpu.parallel.mesh import mf_param_specs, shard_params
+        from cdae_tpu.parallel.sharded import make_sharded_fism_dense_step
+
+        state = self.inner.reset(data, seed)
+        if "dense_R" not in state.aux:
+            raise ValueError(
+                "ShardedFISM requires the dense (U, I) slab budget; use "
+                "single-chip FISM for larger catalogs"
+            )
+        from cdae_tpu.parallel.mesh import _fit_spec
+
+        specs = mf_param_specs(state.params)
+        state.params = shard_params(self.mesh, state.params, specs)
+        R = state.aux["dense_R"]
+        state.aux["dense_R"] = jax.device_put(
+            R,
+            NamedSharding(self.mesh,
+                          _fit_spec(self.mesh, P("data", "model"), R.shape)),
+        )
+        self._dense_step = make_sharded_fism_dense_step(
+            self.inner, self.mesh, state.params
+        )
+        x_spec = _fit_spec(self.mesh, P("data", None),
+                           state.params["x"].shape)
+        self._rebuild_x = jax.jit(
+            lambda R, Pm: R.astype(Pm.dtype) @ Pm,
+            out_shardings=NamedSharding(self.mesh, x_spec),
+        )
+        return state
+
+    def _sharded_dense_batches(self, state):
+        if "sharded_dense_batches" not in state.aux:
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            uid_mat, w_mat = self.inner._dense_user_batches(state)
+            state.aux["sharded_dense_batches"] = (
+                jax.device_put(uid_mat, sh), jax.device_put(w_mat, sh),
+            )
+        return state.aux["sharded_dense_batches"]
+
+    def train_one_iteration(self, state, rng_key):
+        import jax.numpy as jnp
+
+        R = state.aux["dense_R"]
+        uid_mat, w_mat = self._sharded_dense_batches(state)
+        lr = jnp.asarray(self.inner._lr, self.cfg.dtype)
+        params = state.params
+        for j in range(uid_mat.shape[0]):
+            rng_key, sub = jax.random.split(rng_key)
+            params = self._dense_step(params, R, uid_mat[j], w_mat[j], lr,
+                                      sub)
+        params["x"] = self._rebuild_x(R, params["P"])
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self.inner.batch_scores(state, uids, rated_items, rated_mask)
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)
+
+
 class ShardedNegMF(RecsysModel):
     """DP trainer for NegMF's fused scan epoch (per-instance independence,
     ref neg_mf.hpp:79-95): params replicate, each minibatch is constrained

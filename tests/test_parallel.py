@@ -315,3 +315,30 @@ def test_sharded_negmf_matches_single(mesh):
             np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
             rtol=2e-5, atol=1e-6, err_msg=k,
         )
+
+
+def test_sharded_fism_matches_single(mesh):
+    """ShardedFISM dense slabs: same key stream as single-chip dense FISM,
+    params (incl. the x cache) match up to psum summation order."""
+    from cdae_tpu.models.fism import FISM, FISMConfig
+    from cdae_tpu.parallel.trainer import ShardedFISM
+
+    data = _tiny(num_users=48, num_items=64, seed=11)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = FISMConfig(num_dim=6, num_neg=2, batch_size=16, dense_mode=True)
+
+    single = FISM(cfg)
+    s_state = single.reset(train, seed=0)
+    sharded = ShardedFISM(cfg, mesh=mesh)
+    m_state = sharded.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(6)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = sharded.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
