@@ -47,7 +47,10 @@ def make_sharded_train_step(model: CDAE, mesh: Mesh, params: Dict):
     """jit the full CDAE train step with explicit in/out shardings."""
     pspecs = cdae_param_specs(params)
     bspecs = batch_specs()
-    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    param_sh = {
+        k: NamedSharding(mesh, _fit_spec(mesh, s, params[k].shape))
+        for k, s in pspecs.items()
+    }
     step = functools.partial(_train_step, cfg=model.cfg, loss=model.loss)
     return jax.jit(
         step,
@@ -72,7 +75,10 @@ def make_sharded_dense_step(model: CDAE, mesh: Mesh, params: Dict):
     psum/reduce-scatter collectives inserted by XLA. The interaction matrix
     dense_R (U, I) lives sharded over both axes."""
     pspecs = cdae_param_specs(params)
-    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    param_sh = {
+        k: NamedSharding(mesh, _fit_spec(mesh, s, params[k].shape))
+        for k, s in pspecs.items()
+    }
     step = functools.partial(_dense_train_step, cfg=model.cfg,
                              loss=model.loss)
     return jax.jit(
@@ -152,7 +158,10 @@ def make_sharded_scores(model: CDAE, mesh: Mesh, params: Dict):
     import dataclasses
 
     pspecs = cdae_param_specs(params)
-    param_sh = {k: NamedSharding(mesh, s) for k, s in pspecs.items()}
+    param_sh = {
+        k: NamedSharding(mesh, _fit_spec(mesh, s, params[k].shape))
+        for k, s in pspecs.items()
+    }
     # sharded decode stays on the plain XLA matmul — the pallas kernel is a
     # single-device fast path and does not partition under GSPMD
     cfg = dataclasses.replace(model.cfg, use_pallas=False)
