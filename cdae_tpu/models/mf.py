@@ -206,15 +206,51 @@ class _MFBase(RecsysModel):
     # The whole epoch (on-device shuffle -> lax.scan over fixed-size instance
     # minibatches) runs as ONE dispatch; the reference's per-instance loop
     # (e.g. imf.hpp:71-85) would leave the TPU >95% idle on host overhead.
-    def _epoch_fn(self, num_batches: int, constrain=None):
-        """The raw (unjitted) fused-epoch function. ``constrain`` is an
-        optional hook applied to each minibatch's (sel, w) BEFORE the
-        per-user gathers — the sharded trainer passes a
-        with_sharding_constraint over the 'data' mesh axis there, so every
-        downstream gather/grad/one-hot contraction partitions per user and
-        GSPMD reduces the aggregated table gradients with one psum."""
+    def _epoch_fn(self, num_batches: int, constrain=None,
+                  external_perm: bool = False):
+        """The raw (unjitted) fused-epoch function.
+
+        ``external_perm``: take the shuffled (num_batches, bs) selection /
+        weight matrices as ARGUMENTS instead of permuting inside — the
+        sharded trainer feeds them PHYSICALLY sharded over the 'data' mesh
+        axis. This is what actually forces data parallelism: a
+        with_sharding_constraint on values derived from replicated inputs
+        is elidable (GSPMD can satisfy it with a free slice and replicate
+        all downstream compute — measured: zero collectives); a physically
+        distributed input is not. ``constrain`` additionally re-asserts the
+        batch sharding on the gathered tensors inside the scan body."""
         step = functools.partial(self._step, cfg=self.cfg, loss=self.loss)
         bs = self.cfg.batch_size
+
+        def run_scan(params, users, items, ratings, pad_items, pad_lengths,
+                     sel_mat, w_mat, kstep, extras):
+            def body(carry, inp):
+                params, key = carry
+                sel, w = inp
+                u = users[sel]
+                it, rt = items[sel], ratings[sel]
+                pu, pl = pad_items[u], pad_lengths[u]
+                ex = [e[u] for e in extras]  # per-user aux rows (e.g. the
+                # dense rated mask WARP's violator counting needs)
+                if constrain is not None:
+                    u, it, rt, w = map(constrain, (u, it, rt, w))
+                    pu, pl = constrain(pu), constrain(pl)
+                    ex = [constrain(e) for e in ex]
+                key, sub = jax.random.split(key)
+                params = step(params, u, it, rt, w, pu, pl, sub, *ex)
+                return (params, key), None
+
+            (params, _), _ = jax.lax.scan(body, (params, kstep),
+                                          (sel_mat, w_mat))
+            return params
+
+        if external_perm:
+            def epoch_ext(params, users, items, ratings, pad_items,
+                          pad_lengths, sel_mat, w_mat, key, *extras):
+                return run_scan(params, users, items, ratings, pad_items,
+                                pad_lengths, sel_mat, w_mat, key, extras)
+
+            return epoch_ext
 
         def epoch(params, users, items, ratings, pad_items, pad_lengths, key,
                   *extras):
@@ -230,25 +266,8 @@ class _MFBase(RecsysModel):
             w_all = (jnp.arange(total) < n).astype(jnp.float32)
             sel_mat = perm.reshape(num_batches, bs)
             w_mat = w_all.reshape(num_batches, bs)
-
-            def body(carry, inp):
-                params, key = carry
-                sel, w = inp
-                if constrain is not None:
-                    sel, w = constrain(sel), constrain(w)
-                u = users[sel]
-                key, sub = jax.random.split(key)
-                params = step(
-                    params, u, items[sel], ratings[sel], w,
-                    pad_items[u], pad_lengths[u], sub,
-                    *[e[u] for e in extras],  # per-user aux rows (e.g. the
-                    # dense rated mask WARP's violator counting needs)
-                )
-                return (params, key), None
-
-            (params, _), _ = jax.lax.scan(body, (params, kstep),
-                                          (sel_mat, w_mat))
-            return params
+            return run_scan(params, users, items, ratings, pad_items,
+                            pad_lengths, sel_mat, w_mat, kstep, extras)
 
         return epoch
 
@@ -535,11 +554,16 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
         )
     D = params["uv"].shape[1]
     I = params["iv"].shape[0]
-    acc = jnp.zeros((I, pos_vals.shape[-1]), pos_vals.dtype)
-    acc = scatter_add_rows(acc, i, pos_vals, mode=sm)
-    acc = scatter_add_rows(
-        acc, j.reshape(-1), neg_vals.reshape(-1, neg_vals.shape[-1]), mode=sm
-    )
+    # ONE concatenated aggregation for the item table: chaining two
+    # scatter_add_rows through the same accumulator de-partitions the whole
+    # program under GSPMD (measured: zero collectives — the sharded trainer
+    # silently fell back to replicated compute); a single call over the
+    # concatenated pos+neg rows partitions cleanly (one psum).
+    C = pos_vals.shape[-1]
+    acc_idx = jnp.concatenate([i, j.reshape(-1)])
+    acc_vals = jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)])
+    acc = scatter_add_rows(jnp.zeros((I, C), pos_vals.dtype), acc_idx,
+                           acc_vals, mode=sm)
     grads = {
         "uv": scatter_add_rows(
             jnp.zeros_like(params["uv"]), u, d_uv_rows, mode=sm

@@ -21,8 +21,32 @@ the `mode` argument).
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
+
+# Optional trace-time hook: (mesh, axis) under which the factored
+# aggregation's contraction over P runs inside an explicit shard_map —
+# local partial dots + one psum over the batch axis. This is the
+# compiler-PROOF way to distribute the (2·P·H·C·D)-FLOP aggregation einsum:
+# GSPMD's solver, free to choose, prefers all-gathering the compact per-row
+# values and REPLICATING the einsum (measured on the 8-dev mesh), and it may
+# elide with_sharding_constraint nodes whose producers it replicated.
+_BATCH_MESH = None
+
+
+@contextlib.contextmanager
+def batch_axis_mesh(mesh, axis: str = "data"):
+    """Partition factored aggregations traced within this scope over
+    ``axis``: rows split across the mesh, partial one-hot dots psum'd."""
+    global _BATCH_MESH
+    old = _BATCH_MESH
+    _BATCH_MESH = (mesh, axis)
+    try:
+        yield
+    finally:
+        _BATCH_MESH = old
 
 # One-hot matmul pays 2·P·N·D FLOPs; the serialized scatter pays ~P row
 # updates at ~10M rows/s (measured, BASELINE.md). Crossover at roughly
@@ -77,6 +101,7 @@ def factored_matmul_scatter_add(
     squeeze = vals.ndim == 1
     if squeeze:
         vals = vals[:, None]
+    in_dtype = vals.dtype
     P, D = vals.shape
     if c <= 0:
         # target C·D ≈ 512 lanes (4 MXU tiles), power of two for cheap %//
@@ -96,10 +121,32 @@ def factored_matmul_scatter_add(
     # regression on FISM, whose vals are themselves gather+einsum chains
     vals = jax.lax.optimization_barrier(vals.astype(vd))
     rhs = (oh_lo[:, :, None] * vals[:, None, :]).reshape(P, c * D)
-    out = jnp.einsum(
-        "ph,pk->hk", oh_hi, rhs, preferred_element_type=jnp.float32
-    ).reshape(H * c, D)[:num_rows]
-    out = out.astype(vals.dtype)
+
+    def agg_dot(a, b):
+        return jnp.einsum("ph,pk->hk", a, b,
+                          preferred_element_type=jnp.float32)
+
+    if _BATCH_MESH is not None and P % (
+        _BATCH_MESH[0].shape[_BATCH_MESH[1]]
+    ) == 0:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        mesh, axis = _BATCH_MESH
+
+        def local_dot(a, b):
+            return jax.lax.psum(agg_dot(a, b), axis)
+
+        out = shard_map(
+            local_dot, mesh=mesh,
+            in_specs=(PartitionSpec(axis, None), PartitionSpec(axis, None)),
+            out_specs=PartitionSpec(None, None),
+            check_rep=False,
+        )(oh_hi, rhs)
+    else:
+        out = agg_dot(oh_hi, rhs)
+    out = out.reshape(H * c, D)[:num_rows]
+    out = out.astype(in_dtype)
     return out[:, 0] if squeeze else out
 
 

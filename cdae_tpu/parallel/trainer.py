@@ -460,9 +460,14 @@ class ShardedPairwise(RecsysModel):
         self._epoch_batches = -1
 
     def _constrain(self, x):
+        from cdae_tpu.parallel.mesh import _fit_spec
+
+        spec = _fit_spec(
+            self.mesh,
+            P("data", *([None] * (x.ndim - 1))), x.shape,
+        )
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("data") if x.ndim == 1
-                             else P("data", *([None] * (x.ndim - 1))))
+            x, NamedSharding(self.mesh, spec)
         )
 
     def reset(self, data: Interactions, seed: int = 0):
@@ -489,10 +494,15 @@ class ShardedPairwise(RecsysModel):
         return state.aux["sharded_device_data"]
 
     def train_one_iteration(self, state, rng_key):
+        from cdae_tpu.parallel.mesh import _fit_spec
+
         n = len(state.aux["coo"][0])
-        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        bs = self.cfg.batch_size
+        num_batches = max(-(-n // bs), 1)
         if self._jit_epoch is None or self._epoch_batches != num_batches:
-            fn = self.inner._epoch_fn(num_batches, constrain=self._constrain)
+            fn = self.inner._epoch_fn(num_batches,
+                                      constrain=self._constrain,
+                                      external_perm=True)
             self._jit_epoch = jax.jit(fn, donate_argnums=(0,))
             self._epoch_batches = num_batches
         users, items, ratings, pad_items, pad_lengths = (
@@ -500,10 +510,32 @@ class ShardedPairwise(RecsysModel):
         extras = self.inner._epoch_extras(state)
         rep = NamedSharding(self.mesh, P())
         extras = tuple(jax.device_put(e, rep) for e in extras)
-        state.params = self._jit_epoch(
-            state.params, users, items, ratings, pad_items, pad_lengths,
-            rng_key, *extras,
-        )
+        # same split + permutation the single-chip epoch does internally —
+        # but the selection matrices are placed PHYSICALLY sharded over
+        # 'data', which is what forces GSPMD to keep the batch distributed
+        # (an internal constraint on replicated-derived values is elidable)
+        kperm, kstep = jax.random.split(rng_key)
+        perm = jax.random.permutation(kperm, n)
+        total = num_batches * bs
+        if total > n:
+            perm = jnp.concatenate([perm, jnp.zeros((total - n,),
+                                                    perm.dtype)])
+        w_all = (jnp.arange(total) < n).astype(jnp.float32)
+        batch_sh = NamedSharding(
+            self.mesh, _fit_spec(self.mesh, P(None, "data"), (num_batches,
+                                                              bs)))
+        sel_mat = jax.device_put(perm.reshape(num_batches, bs), batch_sh)
+        w_mat = jax.device_put(w_all.reshape(num_batches, bs), batch_sh)
+        from cdae_tpu.ops.scatter import batch_axis_mesh
+
+        # trace-time hook: the factored aggregations' contraction over the
+        # pair axis runs inside shard_map (local dots + one psum) — the
+        # compiler-proof DP for the einsum GSPMD otherwise replicates
+        with batch_axis_mesh(self.mesh, "data"):
+            state.params = self._jit_epoch(
+                state.params, users, items, ratings, pad_items, pad_lengths,
+                sel_mat, w_mat, kstep, *extras,
+            )
         state.step += 1
         return state
 
