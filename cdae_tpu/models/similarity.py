@@ -39,11 +39,12 @@ class SimilarityConfig:
     topk: int = 50
     # --- TPU build knobs ---
     block_size: int = 1024  # index rows per co-occurrence matmul block
+    sharded: Optional[bool] = None  # mesh-parallel neighbor build
+    # (build_topk_neighbors_sharded); None = auto when >1 device
     dtype: Any = jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("sim_type", "topk"))
-def _neighbor_block(
+def _neighbor_block_math(
     A_blk: jnp.ndarray,  # (B, M) binary rows of the index entities
     A: jnp.ndarray,  # (N, M) all index entities
     counts_blk: jnp.ndarray,  # (B,)
@@ -75,6 +76,11 @@ def _neighbor_block(
     )
 
 
+_neighbor_block = functools.partial(
+    jax.jit, static_argnames=("sim_type", "topk")
+)(_neighbor_block_math)
+
+
 def build_topk_neighbors(
     binary: np.ndarray,  # (N, M) 0/1 — index entities × data entities
     sim_type: str,
@@ -102,6 +108,50 @@ def build_topk_neighbors(
         ids_out[start:end] = np.asarray(ids)
         sims_out[start:end] = np.asarray(sims)
     return ids_out, sims_out
+
+
+def build_topk_neighbors_sharded(
+    binary: np.ndarray,
+    sim_type: str,
+    topk: int,
+    devices=None,
+):
+    """Mesh-parallel neighbor build: the block loop of
+    ``build_topk_neighbors`` is embarrassingly parallel (each row block's
+    count -> normalize -> top-k touches only its own output rows), so one
+    shard_map over a flat device axis replaces the host loop — every device
+    builds its row slice against the replicated binary matrix with ZERO
+    collectives. Results are exactly equal to the serial build (same dots,
+    per-row top-k independent of blocking)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = list(devices) if devices is not None else jax.devices()
+    nd = len(devs)
+    N = binary.shape[0]
+    k = min(topk, max(N - 1, 1))
+    rows_per = max(-(-N // nd), 1)
+    Npad = rows_per * nd
+    A = jnp.asarray(binary, jnp.float32)
+    counts = jnp.sum(A, axis=1)
+    Ap = jnp.pad(A, ((0, Npad - N), (0, 0)))
+    cp = jnp.pad(counts, (0, Npad - N))
+    offs = jnp.arange(nd, dtype=jnp.int32) * rows_per
+    mesh = Mesh(np.array(devs), ("blk",))
+
+    def local(blk, cnt_blk, off, A_full, counts_full):
+        return _neighbor_block_math(
+            blk, A_full, cnt_blk, counts_full, off[0],
+            sim_type.upper(), k,
+        )
+
+    ids, sims = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("blk", None), P("blk"), P("blk"), P(), P()),
+        out_specs=(P("blk", None), P("blk", None)),
+        check_rep=False,
+    ))(Ap, cp, offs, A, counts)
+    return np.asarray(ids[:N]), np.asarray(sims[:N])
 
 
 @jax.jit
@@ -151,9 +201,17 @@ class SimilarityBase(RecsysModel):
             mat = binary.T  # items × users
         else:
             mat = binary  # users × items
-        ids, sims = build_topk_neighbors(
-            mat, self.cfg.sim_type, self.cfg.topk, self.cfg.block_size
-        )
+        use_sharded = self.cfg.sharded
+        if use_sharded is None:
+            use_sharded = len(jax.devices()) > 1
+        if use_sharded:
+            ids, sims = build_topk_neighbors_sharded(
+                mat, self.cfg.sim_type, self.cfg.topk
+            )
+        else:
+            ids, sims = build_topk_neighbors(
+                mat, self.cfg.sim_type, self.cfg.topk, self.cfg.block_size
+            )
         state = ModelState(
             params={
                 "nbr_ids": jnp.asarray(ids),

@@ -342,3 +342,19 @@ def test_sharded_fism_matches_single(mesh):
             np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
             rtol=2e-5, atol=1e-6, err_msg=k,
         )
+
+
+def test_sharded_neighbor_build_matches_serial(mesh):
+    """Mesh-parallel similarity neighbor build == the serial block loop
+    exactly (same dots, row-independent top-k)."""
+    from cdae_tpu.models.similarity import (
+        build_topk_neighbors, build_topk_neighbors_sharded,
+    )
+
+    rng = np.random.default_rng(2)
+    binary = (rng.random((100, 70)) < 0.1).astype(np.int8)
+    for sim in ("JACCARD", "COSINE"):
+        ids_s, sims_s = build_topk_neighbors(binary, sim, 10, block_size=32)
+        ids_p, sims_p = build_topk_neighbors_sharded(binary, sim, 10)
+        np.testing.assert_array_equal(ids_p, ids_s)
+        np.testing.assert_allclose(sims_p, sims_s, rtol=1e-6)
