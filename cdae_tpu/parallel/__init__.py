@@ -11,12 +11,14 @@ __all__ = [
     "ShardedPairwise",
     "ShardedNegMF",
     "ShardedFISM",
+    "ShardedALS",
+    "ShardedWRMF",
 ]
 
 
 def __getattr__(name):  # lazy: trainer pulls in the model zoo
     if name in ("ShardedCDAE", "ShardedIMF", "ShardedPairwise",
-                "ShardedNegMF", "ShardedFISM"):
+                "ShardedNegMF", "ShardedFISM", "ShardedALS", "ShardedWRMF"):
         from cdae_tpu.parallel import trainer
 
         return getattr(trainer, name)

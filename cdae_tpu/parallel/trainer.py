@@ -337,6 +337,123 @@ class ShardedFISM(RecsysModel):
         return self.inner.predict(state, users, items)
 
 
+class ShardedALS(RecsysModel):
+    """ALS/WRMF over the mesh: every row's d×d normal-equation solve is
+    independent (ref als.hpp:100-121), so each sweep runs as one shard_map
+    over a flat device axis — every device gathers its rows' observed
+    factors from the replicated fixed side and solves locally, ZERO
+    collectives. Both sweeps (user, then item against the updated user
+    factors) stay inside one jitted program per iteration."""
+
+    name = "ShardedALS"
+    weighted = False
+
+    def __init__(self, config=None, mesh: Optional[Mesh] = None, **kw):
+        from cdae_tpu.models.als import ALS, ALSConfig, WRMF
+
+        cfg = config if config is not None else ALSConfig(**kw)
+        self.inner = (WRMF if self.weighted else ALS)(cfg)
+        self.cfg = self.inner.cfg
+        self.loss = self.inner.loss
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._devices = [d for d in self.mesh.devices.flat]
+        self._iter = None
+
+    def reset(self, data: Interactions, seed: int = 0):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh as FlatMesh
+
+        from cdae_tpu.models.als import _solve_side_math
+
+        state = self.inner.reset(data, seed)
+        nd = len(self._devices)
+        flat = FlatMesh(np.array(self._devices), ("blk",))
+        weighted = self.inner.weighted
+
+        def stage(pb):
+            """Side arrays padded to nd row blocks (not solve_batch chunks:
+            each device IS a chunk)."""
+            N = pb.num_users
+            rows_per = max(-(-N // nd), 1)
+            pad = rows_per * nd - N
+
+            def padrows(a, fill=0):
+                if pad > 0:
+                    shape = (pad,) + a.shape[1:]
+                    a = np.concatenate([a, np.full(shape, fill, a.dtype)])
+                return jnp.asarray(a)
+
+            return (
+                padrows(pb.items, pb.num_items),
+                padrows(pb.ratings),
+                padrows(pb.mask, False),
+                padrows(pb.lengths),
+                jnp.asarray(N, jnp.int32),
+            )
+
+        state.aux["dev_user_side"] = stage(state.padded)
+        state.aux["dev_item_side"] = stage(state.aux["by_item"])
+
+        def sweep(X, Y, side, lam, sc):
+            idx, ratings, mask, lens, N = side
+            rows_per = idx.shape[0] // nd
+            offs = jnp.arange(nd, dtype=jnp.int32) * rows_per
+
+            def local(idx_b, r_b, m_b, len_b, off, Y, Xold_b):
+                solved = _solve_side_math(Y, idx_b, r_b, m_b, lam, sc,
+                                          weighted)
+                rid = off[0] + jnp.arange(idx_b.shape[0])
+                keep = (len_b > 0) & (rid < N)
+                return jnp.where(keep[:, None], solved, Xold_b)
+
+            Xp = jnp.pad(X, ((0, idx.shape[0] - X.shape[0]), (0, 0)))
+            out = shard_map(
+                local, mesh=flat,
+                in_specs=(P("blk", None), P("blk", None), P("blk", None),
+                          P("blk"), P("blk"), P(), P("blk", None)),
+                out_specs=P("blk", None),
+                check_rep=False,
+            )(idx, ratings, mask, lens, offs, Y, Xp)
+            return out[: X.shape[0]]
+
+        def iteration(p, q, user_side, item_side, lam, sc):
+            p = sweep(p, q, user_side, lam, sc)
+            q = sweep(q, p, item_side, lam, sc)
+            return p, q
+
+        self._iter = jax.jit(iteration, donate_argnums=(0, 1))
+        return state
+
+    def train_one_iteration(self, state, rng_key):
+        params = dict(state.params)
+        params["p"], params["q"] = self._iter(
+            params["p"], params["q"],
+            state.aux["dev_user_side"], state.aux["dev_item_side"],
+            jnp.asarray(self.cfg.lambda_, self.cfg.dtype),
+            jnp.asarray(self.cfg.scalar, self.cfg.dtype),
+        )
+        state.params = params
+        state.step += 1
+        return state
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self.inner.batch_scores(state, uids, rated_items, rated_mask)
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)
+
+
+class ShardedWRMF(ShardedALS):
+    name = "ShardedWRMF"
+    weighted = True
+
+
 class ShardedNegMF(RecsysModel):
     """DP trainer for NegMF's fused scan epoch (per-instance independence,
     ref neg_mf.hpp:79-95): params replicate, each minibatch is constrained

@@ -358,3 +358,30 @@ def test_sharded_neighbor_build_matches_serial(mesh):
         ids_p, sims_p = build_topk_neighbors_sharded(binary, sim, 10)
         np.testing.assert_array_equal(ids_p, ids_s)
         np.testing.assert_allclose(sims_p, sims_s, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["ShardedALS", "ShardedWRMF"])
+def test_sharded_als_matches_single(mesh, name):
+    """ShardedALS/WRMF sweeps (row-block shard_map solves) match the
+    single-chip fused iteration."""
+    from cdae_tpu.models.als import ALS, ALSConfig, WRMF
+    from cdae_tpu.parallel import trainer as tr
+
+    data = _tiny(num_users=48, num_items=64, seed=13)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = ALSConfig(num_dim=6, lambda_=0.1, scalar=5.0, solve_batch=16)
+    single_cls = WRMF if name == "ShardedWRMF" else ALS
+
+    single = single_cls(cfg)
+    s_state = single.reset(train, seed=0)
+    sharded = getattr(tr, name)(cfg, mesh=mesh)
+    m_state = sharded.reset(train, seed=0)
+
+    for _ in range(2):
+        s_state = single.train_one_iteration(s_state, None)
+        m_state = sharded.train_one_iteration(m_state, None)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=5e-4, atol=1e-6, err_msg=k,
+        )
