@@ -80,6 +80,54 @@ if jax.process_index() == 0:
 """
 
 
+_WORKER_BPR = r"""
+import json, os, sys, time
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=1 "
+                           "--xla_cpu_multi_thread_eigen=false")
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cdae_tpu.parallel.distributed import initialize
+initialize()
+import numpy as np
+import jax.numpy as jnp
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.mf import BPR, MFConfig
+from cdae_tpu.parallel.mesh import make_mesh
+from cdae_tpu.parallel.trainer import ShardedPairwise
+
+B_LOCAL = int(os.environ["SCALE_BATCH"])
+STEPS = int(os.environ["SCALE_STEPS"])
+U, I = 2048, 1024
+
+rng = np.random.default_rng(0)
+pairs = np.unique(rng.integers(0, U * I, U * 40))
+data = Interactions.from_arrays((pairs // I).astype(np.int32),
+                                (pairs % I).astype(np.int32),
+                                num_users=U, num_items=I)
+B = B_LOCAL * jax.process_count()
+model = ShardedPairwise(
+    BPR(MFConfig(num_dim=10, num_neg=5, batch_size=B, dense_mode=False)),
+    mesh=make_mesh(),
+)
+state = model.reset(data, seed=0)
+key = jax.random.PRNGKey(0)
+key, sub = jax.random.split(key)
+state = model.train_one_iteration(state, sub)      # compile + warmup epoch
+_ = float(jnp.sum(state.params["iv"]))
+n_pairs = len(data.users)
+t0 = time.perf_counter()
+for s in range(STEPS):
+    key, sub = jax.random.split(key)
+    state = model.train_one_iteration(state, sub)
+_ = float(jnp.sum(state.params["iv"]))
+dt = time.perf_counter() - t0
+if jax.process_index() == 0:
+    print(json.dumps({"procs": jax.process_count(),
+                      "users_per_sec": round(U * STEPS / dt, 1),
+                      "step_ms": round(dt / STEPS * 1e3, 2)}))
+"""
+
+
 def free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -88,12 +136,12 @@ def free_port():
     return port
 
 
-def run_group(n, batch, steps, repo):
+def run_group(n, batch, steps, repo, model="cdae"):
     port = free_port()
     with tempfile.TemporaryDirectory() as td:
         script = os.path.join(td, "worker.py")
         with open(script, "w") as f:
-            f.write(_WORKER)
+            f.write(_WORKER_BPR if model == "bpr" else _WORKER)
         procs = []
         for pid in range(n):
             env = dict(
@@ -127,12 +175,15 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--sizes", type=int, nargs="*", default=[1, 2, 4])
+    ap.add_argument("--model", default="cdae", choices=["cdae", "bpr"],
+                    help="cdae = sharded dense step; bpr = ShardedPairwise "
+                         "fused epoch (step_ms is then ms/EPOCH)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     rows = []
     for n in args.sizes:
-        r = run_group(n, args.batch, args.steps, repo)
+        r = run_group(n, args.batch, args.steps, repo, model=args.model)
         rows.append(r)
         print(f"# {n} proc(s): {r['users_per_sec']:,} users/s "
               f"({r['step_ms']} ms/step)", file=sys.stderr)
