@@ -510,22 +510,17 @@ class IMF(_MFBase):
         return _adagrad_apply(params, grads, cfg)
 
 
-def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
-                    update_bias=True):
-    """BPR/WARP pair update contributions (ref bpr.hpp:72-106,
+def _pair_contribs(uv_u, iv_i, iv_j, ib_i, ib_j, w, cfg, loss,
+                   rank_weight=None, update_bias=True):
+    """Pair-update math on PRE-GATHERED rows (ref bpr.hpp:72-106,
     warp.hpp:90-117): g = loss'(s(u,i)−s(u,j), 1) [·rank_weight].
 
-    Shapes exploit the pair structure: u, i are (B,) and each pairs with
-    nn negatives j (B, nn) [weights w / rank_weight (B, nn)]. The u- and
-    i-side contributions of a row's nn pairs sum in registers (a reshape
-    away — per-touch 2λ terms included per pair, exactly the reference's
-    per-pair accumulation), so the expensive row-aggregation only sees
-      u-side:  B rows    i-side: B rows    j-side: B·nn rows
-    instead of B·nn everywhere — ~4x less scatter work at num_neg=5.
-    Bias gradients ride the SAME aggregation as extra value columns."""
+    Shared by the single-device `_pairwise_grads` (which gathers from the
+    full tables) and the tensor-parallel trainer (which reconstructs rows
+    from 'model'-sharded table blocks, parallel/tp_pairwise.py). Returns
+    (d_uv_rows (B, D), pos_vals (B, C), neg_vals (B, nn, C), with_bias)
+    where C = D (+1 bias column when with_bias)."""
     lam2 = 2.0 * cfg.lambda_
-    uv_u, iv_i, iv_j = params["uv"][u], params["iv"][i], params["iv"][j]
-    ib_i, ib_j = params["ib"][i], params["ib"][j]
     pred = (
         ib_i[:, None] - ib_j
         + jnp.sum(uv_u[:, None, :] * (iv_i[:, None, :] - iv_j), axis=-1)
@@ -533,7 +528,6 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
     g = loss.gradient(pred, 1.0) * w
     if rank_weight is not None:
         g = g * rank_weight
-    sm = cfg.scatter_mode
     gsum = jnp.sum(g, axis=1)  # (B,)
     wsum = jnp.sum(w, axis=1)
     d_uv_rows = (
@@ -552,6 +546,27 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
         neg_vals = jnp.concatenate(
             [neg_vals, (-g + lam2 * ib_j * w)[..., None]], axis=2
         )
+    return d_uv_rows, pos_vals, neg_vals, with_bias
+
+
+def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
+                    update_bias=True):
+    """BPR/WARP pair update contributions, aggregated into full tables.
+
+    Shapes exploit the pair structure: u, i are (B,) and each pairs with
+    nn negatives j (B, nn) [weights w / rank_weight (B, nn)]. The u- and
+    i-side contributions of a row's nn pairs sum in registers (a reshape
+    away — per-touch 2λ terms included per pair, exactly the reference's
+    per-pair accumulation), so the expensive row-aggregation only sees
+      u-side:  B rows    i-side: B rows    j-side: B·nn rows
+    instead of B·nn everywhere — ~4x less scatter work at num_neg=5.
+    Bias gradients ride the SAME aggregation as extra value columns."""
+    sm = cfg.scatter_mode
+    d_uv_rows, pos_vals, neg_vals, with_bias = _pair_contribs(
+        params["uv"][u], params["iv"][i], params["iv"][j],
+        params["ib"][i], params["ib"][j], w, cfg, loss,
+        rank_weight=rank_weight, update_bias=update_bias,
+    )
     D = params["uv"].shape[1]
     I = params["iv"].shape[0]
     # ONE concatenated aggregation for the item table: chaining two

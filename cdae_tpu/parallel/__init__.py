@@ -13,6 +13,7 @@ __all__ = [
     "ShardedFISM",
     "ShardedALS",
     "ShardedWRMF",
+    "ShardedPairwiseTP",
 ]
 
 
@@ -22,4 +23,8 @@ def __getattr__(name):  # lazy: trainer pulls in the model zoo
         from cdae_tpu.parallel import trainer
 
         return getattr(trainer, name)
+    if name == "ShardedPairwiseTP":
+        from cdae_tpu.parallel.tp_pairwise import ShardedPairwiseTP
+
+        return ShardedPairwiseTP
     raise AttributeError(name)

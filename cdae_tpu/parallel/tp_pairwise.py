@@ -1,0 +1,292 @@
+"""Tensor-parallel pairwise trainer: the item table PHYSICALLY sharded.
+
+ShardedPairwise (parallel/trainer.py) is DP-only: every chip holds the full
+parameter set, which caps the catalog at one chip's HBM. This trainer is the
+memory-scaling variant (ROADMAP "item-sharded pairwise"): the item factor
+table ``iv`` (I, D), item bias ``ib`` (I,) and their AdaGrad accumulators
+live sharded P('model') across the mesh — per-chip item-table memory is
+I/n_model rows — while the minibatch pair math shards over 'data'.
+
+The step is an explicit shard_map (the repo's GSPMD finding, COMMS.md: the
+solver prefers replicating these programs at small widths, and constraints
+on replicated-derived values are elidable — explicit collectives are the
+compiler-proof layout):
+
+  gather    iv/ib rows for the local pair chunk reconstruct via one
+            masked-local-gather + psum over 'model' — comms O(B_local·nn·D)
+            per batch, NEVER an all-gather of the (I, D) table.
+  pair math _pair_contribs (models/mf.py) on the local chunk — identical
+            per-pair update rule to single-chip BPR (ref bpr.hpp:72-106).
+  aggregate per-pair contribution rows all-gather over 'data'
+            (O(B·nn·D) comms, independent of U and I); each device then
+            one-hot-aggregates the full pair set into ONLY its item block
+            (factored_matmul_scatter_add over I/n_model rows — the
+            aggregation MXU work parallelizes n_model-way) and, redundantly
+            across shards, into the replicated user table.
+  apply     dense AdaGrad (solver/optimizer.py) — local on the item blocks,
+            replicated-identical on the user table.
+
+Trajectory: negatives are drawn replicated with the SAME key stream and
+shapes as the single-chip fused epoch (models/mf._epoch_fn), so training
+matches single-chip BPR up to float summation order (tested).
+
+Scope: BPR (the flagship pairwise model). WARP's dense violator path needs
+the full (B, I) score row and has its own sharded story (the DP
+ShardedPairwise); FISM/NegMF have dedicated sharded trainers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.base import RecsysModel
+from cdae_tpu.ops import sampling
+from cdae_tpu.ops.scatter import factored_matmul_scatter_add
+from cdae_tpu.solver.optimizer import dense_adagrad_step
+
+
+def _psum_gather(block, idx, offset, axis):
+    """Reconstruct global rows from a sharded table: each shard contributes
+    the rows it owns (zeros elsewhere), one psum over ``axis`` completes
+    them. idx: (K,) GLOBAL row ids; block: this shard's (blk, ...) rows
+    starting at ``offset``. Comms: K·D floats — independent of table size."""
+    blk = block.shape[0]
+    lid = idx - offset
+    ok = (lid >= 0) & (lid < blk)
+    rows = jnp.take(block, jnp.clip(lid, 0, blk - 1), axis=0)
+    mask = ok if rows.ndim == 1 else ok[:, None]
+    return jax.lax.psum(jnp.where(mask, rows, 0), axis)
+
+
+class ShardedPairwiseTP(RecsysModel):
+    """BPR over a ('data', 'model') mesh with the item table sharded.
+
+    Drop-in for Solver/Evaluation like the wrapped model. Requires
+    cfg.batch_size % n_data == 0 (each data shard owns an equal pair
+    chunk). Item tables are zero-padded to n_model row blocks; scoring
+    slices the padding back off.
+    """
+
+    name = "ShardedPairwiseTP"
+
+    def __init__(self, inner, mesh: Optional[Mesh] = None):
+        from cdae_tpu.models.mf import BPR
+        from cdae_tpu.parallel.mesh import make_mesh
+
+        if not isinstance(inner, BPR):
+            raise TypeError(
+                "ShardedPairwiseTP shards the BPR item table; got "
+                f"{type(inner)} (WARP/IMF/PMF: use ShardedPairwise)"
+            )
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.loss = inner.loss
+        self.name = f"Sharded{inner.name}TP"
+        self.mesh = mesh if mesh is not None else make_mesh(n_model=2)
+        nd = self.mesh.shape["data"]
+        if self.cfg.batch_size % nd:
+            raise ValueError(
+                f"batch_size={self.cfg.batch_size} must divide over "
+                f"n_data={nd}"
+            )
+        self._jit_epoch = None
+        self._epoch_batches = -1
+
+    # ------------------------------------------------------------- reset ----
+    def reset(self, data: Interactions, seed: int = 0):
+        state = self.inner.reset(data, seed)
+        state.aux.pop("dense_R", None)
+        state.aux.pop("dense_ratings", None)
+        nm = self.mesh.shape["model"]
+        I = state.num_items
+        self._blk = -(-I // nm)
+        pad = self._blk * nm - I
+        p = state.params
+        if pad:
+            from cdae_tpu.solver.optimizer import ADAGRAD_INIT
+
+            p = dict(p)
+            for k in ("iv", "ib", "iv_ag", "ib_ag"):
+                # _ag padding keeps the init value: a zero accumulator with
+                # beta=0 would make the (zero-grad) pad update 0/0 = NaN
+                fill = ADAGRAD_INIT if k.endswith("_ag") else 0
+                shape = (pad,) + p[k].shape[1:]
+                p[k] = jnp.concatenate(
+                    [p[k], jnp.full(shape, fill, p[k].dtype)]
+                )
+        sh = {
+            "iv": P("model", None), "iv_ag": P("model", None),
+            "ib": P("model",), "ib_ag": P("model",),
+        }
+        state.params = {
+            k: jax.device_put(v, NamedSharding(self.mesh, sh.get(k, P())))
+            for k, v in p.items()
+        }
+        self._num_items = I
+        self._jit_epoch = None
+        return state
+
+    # ------------------------------------------------------------- epoch ----
+    def _build_epoch(self, num_batches: int, U: int):
+        cfg, loss = self.cfg, self.loss
+        mesh, blk, I = self.mesh, self._blk, self._num_items
+        nd = mesh.shape["data"]
+        bs = cfg.batch_size
+        bsl = bs // nd
+        nn = max(cfg.num_neg, 1)
+        lr, beta, uag = cfg.learn_rate, cfg.beta, cfg.using_adagrad
+
+        def local_epoch(uv, uv_ag, iv, iv_ag, ib, ib_ag,
+                        users, items, pad_items, pad_lengths,
+                        sel_mat, w_mat, key):
+            from cdae_tpu.models.mf import _pair_contribs
+
+            d = jax.lax.axis_index("data")
+            m = jax.lax.axis_index("model")
+            offset = m * blk
+
+            def body(carry, inp):
+                uv, uv_ag, iv, iv_ag, ib, ib_ag, key = carry
+                sel, w = inp  # (bs,) replicated — matches single-chip
+                u = users[sel]
+                i = items[sel]
+                pu, pl = pad_items[u], pad_lengths[u]
+                key, sub = jax.random.split(key)
+                # replicated draw: SAME negatives as the single-chip epoch
+                neg = sampling.sample_unrated(sub, pu, pl, I, nn)
+                pair_w = w[:, None] * (neg < I).astype(w.dtype)
+                j = jnp.clip(neg, 0, I - 1)
+                lo = d * bsl
+                sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                       start_index=lo, slice_size=bsl)
+                u_l, i_l = sl(u), sl(i)
+                j_l, pw_l = sl(j), sl(pair_w)
+                # row reconstruction from the sharded blocks (psum'd)
+                iv_i = _psum_gather(iv, i_l, offset, "model")
+                iv_j = _psum_gather(iv, j_l.reshape(-1), offset,
+                                    "model").reshape(bsl, nn, -1)
+                ib_i = _psum_gather(ib, i_l, offset, "model")
+                ib_j = _psum_gather(ib, j_l.reshape(-1), offset,
+                                    "model").reshape(bsl, nn)
+                d_uv_rows, pos_vals, neg_vals, with_bias = _pair_contribs(
+                    uv[u_l], iv_i, iv_j, ib_i, ib_j, pw_l, cfg, loss,
+                )
+                C = pos_vals.shape[-1]
+                # contribution rows all-gather over 'data' (B·nn·C floats;
+                # never U·D or I·C), then aggregate locally
+                u_all = jax.lax.all_gather(u_l, "data", tiled=True)
+                duv_all = jax.lax.all_gather(d_uv_rows, "data", tiled=True)
+                acc_idx = jax.lax.all_gather(
+                    jnp.concatenate([i_l, j_l.reshape(-1)]), "data",
+                    tiled=True)
+                acc_vals = jax.lax.all_gather(
+                    jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)]),
+                    "data", tiled=True)
+                # item block: only this shard's blk rows (offset shift;
+                # out-of-block ids contribute nothing)
+                acc = factored_matmul_scatter_add(
+                    acc_idx - offset, acc_vals, blk)
+                # user table: replicated-identical aggregation + apply
+                guv = factored_matmul_scatter_add(u_all, duv_all, U)
+                uv, uv_ag = dense_adagrad_step(uv, uv_ag, guv, lr, beta, uag)
+                iv, iv_ag = dense_adagrad_step(iv, iv_ag, acc[:, :-1]
+                                               if with_bias else acc,
+                                               lr, beta, uag)
+                if with_bias:
+                    ib, ib_ag = dense_adagrad_step(ib, ib_ag, acc[:, -1],
+                                                   lr, beta, uag)
+                return (uv, uv_ag, iv, iv_ag, ib, ib_ag, key), None
+
+            carry = (uv, uv_ag, iv, iv_ag, ib, ib_ag, key)
+            carry, _ = jax.lax.scan(body, carry, (sel_mat, w_mat))
+            return carry[:-1]
+
+        blk_spec = P("model", None)
+        vec_spec = P("model")
+        rep = P()
+        mapped = shard_map(
+            local_epoch, mesh=mesh,
+            in_specs=(rep, rep, blk_spec, blk_spec, vec_spec, vec_spec,
+                      rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, blk_spec, blk_spec, vec_spec, vec_spec),
+            check_rep=False,
+        )
+
+        def epoch(params, users, items, pad_items, pad_lengths, key):
+            kperm, kstep = jax.random.split(key)
+            n = users.shape[0]
+            perm = jax.random.permutation(kperm, n)
+            total = num_batches * bs
+            if total > n:
+                perm = jnp.concatenate(
+                    [perm, jnp.zeros((total - n,), perm.dtype)])
+            w_all = (jnp.arange(total) < n).astype(jnp.float32)
+            out = mapped(
+                params["uv"], params["uv_ag"], params["iv"],
+                params["iv_ag"], params["ib"], params["ib_ag"],
+                users, items, pad_items, pad_lengths,
+                perm.reshape(num_batches, bs),
+                w_all.reshape(num_batches, bs), kstep,
+            )
+            new = dict(params)
+            for k, v in zip(("uv", "uv_ag", "iv", "iv_ag", "ib", "ib_ag"),
+                            out):
+                new[k] = v
+            return new
+
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    def _device_data(self, state):
+        if "tp_device_data" not in state.aux:
+            rep = NamedSharding(self.mesh, P())
+            users, items, _ = state.aux["coo"]
+            pb = state.padded
+            state.aux["tp_device_data"] = tuple(
+                jax.device_put(np.asarray(a), rep)
+                for a in (users, items, pb.items, pb.lengths)
+            )
+        return state.aux["tp_device_data"]
+
+    def train_one_iteration(self, state, rng_key):
+        n = len(state.aux["coo"][0])
+        num_batches = max(-(-n // self.cfg.batch_size), 1)
+        if self._jit_epoch is None or self._epoch_batches != num_batches:
+            self._jit_epoch = self._build_epoch(num_batches, state.num_users)
+            self._epoch_batches = num_batches
+        users, items, pad_items, pad_lengths = self._device_data(state)
+        state.params = self._jit_epoch(
+            state.params, users, items, pad_items, pad_lengths, rng_key)
+        state.step += 1
+        return state
+
+    # -------------------------------------------------------- loss / eval ---
+    def _trimmed(self, params):
+        """Params view with the n_model row padding sliced back off."""
+        I = self._num_items
+        out = dict(params)
+        for k in ("iv", "iv_ag"):
+            out[k] = params[k][:I]
+        for k in ("ib", "ib_ag"):
+            out[k] = params[k][:I]
+        return out
+
+    def data_loss(self, state) -> float:
+        return self.inner.data_loss(state)  # gathers by real id: pad inert
+
+    def penalty_loss(self, state) -> float:
+        return self.inner.penalty_loss(state)  # zero pad rows: zero penalty
+
+    def batch_scores(self, state, uids, rated_items, rated_mask):
+        return self.inner._jit_scores(self._trimmed(state.params),
+                                      jnp.asarray(uids))
+
+    def predict(self, state, users, items):
+        return self.inner.predict(state, users, items)

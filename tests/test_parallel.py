@@ -288,6 +288,60 @@ def test_sharded_pairwise_matches_single(mesh, model_name):
     assert abs(got["R@10"] - want["R@10"]) < 1e-5
 
 
+def test_sharded_pairwise_tp_matches_single(mesh):
+    """ShardedPairwiseTP (item table PHYSICALLY sharded over 'model',
+    batch over 'data'): same key stream as the single-chip fused epoch,
+    params match up to float summation order; item blocks carry the
+    n_model padding and scoring slices it off. num_items=63 exercises a
+    non-divisible catalog (pad row must stay zero / never be recommended)."""
+    from cdae_tpu.evaluation import Evaluation
+    from cdae_tpu.models.mf import BPR, MFConfig
+    from cdae_tpu.parallel.tp_pairwise import ShardedPairwiseTP
+
+    data = _tiny(num_users=48, num_items=63, seed=3)
+    train, test = data.split_by_user(0.25, seed=1)
+    cfg = MFConfig(num_dim=8, num_neg=2, batch_size=32,
+                   scatter_mode="factored", dense_mode=False)
+
+    single = BPR(cfg)
+    s_state = single.reset(train, seed=0)
+    tp = ShardedPairwiseTP(BPR(cfg), mesh=mesh)
+    assert tp.name == "ShardedBPRTP"
+    m_state = tp.reset(train, seed=0)
+
+    # item tables padded to n_model row blocks and sharded over 'model'
+    nm = mesh.shape["model"]
+    assert m_state.params["iv"].shape[0] == -(-63 // nm) * nm
+    spec = m_state.params["iv"].sharding.spec
+    assert spec[0] == "model"
+
+    key = jax.random.PRNGKey(5)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = tp.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        got = np.asarray(m_state.params[k])
+        if got.shape[0] != s_state.params[k].shape[0]:
+            if not k.endswith("_ag"):
+                assert not np.any(got[63:]), k  # pad rows stay exactly zero
+            else:
+                assert np.all(got[63:] > 0), k  # ADAGRAD_INIT pad kept
+            got = got[:63]
+        np.testing.assert_allclose(
+            got, np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+    ev = Evaluation.create("TOPN")
+    got = ev.evaluate(tp, m_state, test, train)
+    want = ev.evaluate(single, s_state, test, train)
+    assert abs(got["R@10"] - want["R@10"]) < 1e-5
+    # scores slice the padding off: exactly the real catalog width
+    scores = tp.batch_scores(m_state, np.arange(4), None, None)
+    assert scores.shape[1] == 63
+
+
 def test_sharded_negmf_matches_single(mesh):
     """ShardedNegMF: same key stream as single-chip NegMF's fused epoch,
     params match up to psum summation order."""
