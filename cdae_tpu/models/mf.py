@@ -110,39 +110,43 @@ def _adagrad_apply(params, grads, cfg: MFConfig):
     return out
 
 
-def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
-    """Per-instance contributions of the PMF/IMF update rule
-    (ref pmf.hpp:80-104): g = loss'(s(u,i), y); each touch adds its own
-    2λ·param regularization term, reproduced by scatter-adding it per
-    instance."""
+def _pointwise_contribs(uv_u, iv_i, ub_u, ib_i, labels, w, cfg: MFConfig,
+                        loss: Loss):
+    """Pointwise update math on PRE-GATHERED rows (ref pmf.hpp:80-104):
+    g = loss'(s(u,i), y); each touch adds its own 2λ·param regularization
+    term. Shared by `_pointwise_grads` (full-table gathers) and the
+    tensor-parallel trainer (parallel/tp_pairwise.py, 'model'-sharded item
+    blocks). Returns per-instance contribution rows
+    (d_uv (P, D), d_iv (P, D), d_ub (P,), d_ib (P,))."""
     lam2 = 2.0 * cfg.lambda_
-    pred = params["ub"][u] + params["ib"][i] + jnp.sum(
-        params["uv"][u] * params["iv"][i], axis=-1
-    )
+    pred = ub_u + ib_i + jnp.sum(uv_u * iv_i, axis=-1)
     g = loss.gradient(pred, labels) * w
+    d_uv = g[:, None] * iv_i + (lam2 * uv_u) * w[:, None]
+    d_iv = g[:, None] * uv_u + (lam2 * iv_i) * w[:, None]
+    d_ub = g + lam2 * ub_u * w
+    d_ib = g + lam2 * ib_i * w
+    return d_uv, d_iv, d_ub, d_ib
 
+
+def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
+    """Per-instance contributions of the PMF/IMF update rule, aggregated
+    into full tables (math in _pointwise_contribs)."""
+    d_uv, d_iv, d_ub, d_ib = _pointwise_contribs(
+        params["uv"][u], params["iv"][i], params["ub"][u], params["ib"][i],
+        labels, w, cfg, loss,
+    )
     sm = cfg.scatter_mode
     grads = {
-        "uv": scatter_add_rows(
-            jnp.zeros_like(params["uv"]), u,
-            g[:, None] * params["iv"][i] + (lam2 * params["uv"][u]) * w[:, None],
-            mode=sm,
-        ),
-        "iv": scatter_add_rows(
-            jnp.zeros_like(params["iv"]), i,
-            g[:, None] * params["uv"][u] + (lam2 * params["iv"][i]) * w[:, None],
-            mode=sm,
-        ),
+        "uv": scatter_add_rows(jnp.zeros_like(params["uv"]), u, d_uv,
+                               mode=sm),
+        "iv": scatter_add_rows(jnp.zeros_like(params["iv"]), i, d_iv,
+                               mode=sm),
     }
     if cfg.using_bias_term:
-        grads["ub"] = scatter_add_rows(
-            jnp.zeros_like(params["ub"]), u, g + lam2 * params["ub"][u] * w,
-            mode=sm,
-        )
-        grads["ib"] = scatter_add_rows(
-            jnp.zeros_like(params["ib"]), i, g + lam2 * params["ib"][i] * w,
-            mode=sm,
-        )
+        grads["ub"] = scatter_add_rows(jnp.zeros_like(params["ub"]), u,
+                                       d_ub, mode=sm)
+        grads["ib"] = scatter_add_rows(jnp.zeros_like(params["ib"]), i,
+                                       d_ib, mode=sm)
     return grads
 
 

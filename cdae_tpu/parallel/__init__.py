@@ -13,6 +13,7 @@ __all__ = [
     "ShardedFISM",
     "ShardedALS",
     "ShardedWRMF",
+    "ShardedMFTP",
     "ShardedPairwiseTP",
 ]
 
@@ -23,8 +24,8 @@ def __getattr__(name):  # lazy: trainer pulls in the model zoo
         from cdae_tpu.parallel import trainer
 
         return getattr(trainer, name)
-    if name == "ShardedPairwiseTP":
-        from cdae_tpu.parallel.tp_pairwise import ShardedPairwiseTP
+    if name in ("ShardedMFTP", "ShardedPairwiseTP"):
+        from cdae_tpu.parallel import tp_pairwise
 
-        return ShardedPairwiseTP
+        return getattr(tp_pairwise, name)
     raise AttributeError(name)

@@ -1,38 +1,42 @@
-"""Tensor-parallel pairwise trainer: the item table PHYSICALLY sharded.
+"""Tensor-parallel sparse-MF trainer: the item table PHYSICALLY sharded.
 
 ShardedPairwise (parallel/trainer.py) is DP-only: every chip holds the full
 parameter set, which caps the catalog at one chip's HBM. This trainer is the
 memory-scaling variant (ROADMAP "item-sharded pairwise"): the item factor
 table ``iv`` (I, D), item bias ``ib`` (I,) and their AdaGrad accumulators
 live sharded P('model') across the mesh — per-chip item-table memory is
-I/n_model rows — while the minibatch pair math shards over 'data'.
+I/n_model rows — while the minibatch math shards over 'data'. Covers the
+sparse fused-epoch MF family: BPR (pairwise, ref bpr.hpp:72-106) and
+IMF/PMF (pointwise, ref imf.hpp:71-115 / pmf.hpp:80-104).
 
 The step is an explicit shard_map (the repo's GSPMD finding, COMMS.md: the
 solver prefers replicating these programs at small widths, and constraints
 on replicated-derived values are elidable — explicit collectives are the
 compiler-proof layout):
 
-  gather    iv/ib rows for the local pair chunk reconstruct via one
+  gather    iv/ib rows for the local instance chunk reconstruct via one
             masked-local-gather + psum over 'model' — comms O(B_local·nn·D)
             per batch, NEVER an all-gather of the (I, D) table.
-  pair math _pair_contribs (models/mf.py) on the local chunk — identical
-            per-pair update rule to single-chip BPR (ref bpr.hpp:72-106).
-  aggregate per-pair contribution rows all-gather over 'data'
+  math      _pair_contribs / _pointwise_contribs (models/mf.py) on the
+            local chunk — identical per-instance update rules to the
+            single-chip steps.
+  aggregate per-instance contribution rows all-gather over 'data'
             (O(B·nn·D) comms, independent of U and I); each device then
-            one-hot-aggregates the full pair set into ONLY its item block
+            one-hot-aggregates the full set into ONLY its item block
             (factored_matmul_scatter_add over I/n_model rows — the
             aggregation MXU work parallelizes n_model-way) and, redundantly
-            across shards, into the replicated user table.
+            across shards, into the replicated user table. Bias gradients
+            ride the same aggregations as an extra value column.
   apply     dense AdaGrad (solver/optimizer.py) — local on the item blocks,
-            replicated-identical on the user table.
+            replicated-identical on the user tables.
 
 Trajectory: negatives are drawn replicated with the SAME key stream and
 shapes as the single-chip fused epoch (models/mf._epoch_fn), so training
-matches single-chip BPR up to float summation order (tested).
+matches the single-chip model up to float summation order (tested).
 
-Scope: BPR (the flagship pairwise model). WARP's dense violator path needs
-the full (B, I) score row and has its own sharded story (the DP
-ShardedPairwise); FISM/NegMF have dedicated sharded trainers.
+Scope: BPR/IMF/PMF. WARP's dense violator path needs the full (B, I)
+score row and has its own sharded story (the DP ShardedPairwise);
+FISM/NegMF/ALS have dedicated sharded trainers (parallel/trainer.py).
 """
 
 from __future__ import annotations
@@ -66,30 +70,32 @@ def _psum_gather(block, idx, offset, axis):
     return jax.lax.psum(jnp.where(mask, rows, 0), axis)
 
 
-class ShardedPairwiseTP(RecsysModel):
-    """BPR over a ('data', 'model') mesh with the item table sharded.
+class ShardedMFTP(RecsysModel):
+    """BPR/IMF/PMF over a ('data', 'model') mesh, item table sharded.
 
     Drop-in for Solver/Evaluation like the wrapped model. Requires
-    cfg.batch_size % n_data == 0 (each data shard owns an equal pair
+    cfg.batch_size % n_data == 0 (each data shard owns an equal instance
     chunk). Item tables are zero-padded to n_model row blocks; scoring
     slices the padding back off.
     """
 
-    name = "ShardedPairwiseTP"
+    name = "ShardedMFTP"
 
     def __init__(self, inner, mesh: Optional[Mesh] = None):
-        from cdae_tpu.models.mf import BPR
+        from cdae_tpu.models.mf import BPR, IMF, PMF
         from cdae_tpu.parallel.mesh import make_mesh
 
-        if not isinstance(inner, BPR):
+        if not isinstance(inner, (BPR, IMF, PMF)):
             raise TypeError(
-                "ShardedPairwiseTP shards the BPR item table; got "
-                f"{type(inner)} (WARP/IMF/PMF: use ShardedPairwise)"
+                "ShardedMFTP shards the BPR/IMF/PMF item table; got "
+                f"{type(inner)} (WARP: use the DP ShardedPairwise)"
             )
         self.inner = inner
         self.cfg = inner.cfg
         self.loss = inner.loss
         self.name = f"Sharded{inner.name}TP"
+        self._pairwise = isinstance(inner, BPR)
+        self._sample_negs = not isinstance(inner, PMF)
         self.mesh = mesh if mesh is not None else make_mesh(n_model=2)
         nd = self.mesh.shape["data"]
         if self.cfg.batch_size % nd:
@@ -141,71 +147,125 @@ class ShardedPairwiseTP(RecsysModel):
         nd = mesh.shape["data"]
         bs = cfg.batch_size
         bsl = bs // nd
-        nn = max(cfg.num_neg, 1)
+        nn = max(cfg.num_neg, 1 if self._pairwise else 0)
         lr, beta, uag = cfg.learn_rate, cfg.beta, cfg.using_adagrad
+        pairwise, sample_negs = self._pairwise, self._sample_negs
+        with_ub = (not pairwise) and cfg.using_bias_term
 
-        def local_epoch(uv, uv_ag, iv, iv_ag, ib, ib_ag,
-                        users, items, pad_items, pad_lengths,
+        def local_epoch(uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag,
+                        users, items, ratings, pad_items, pad_lengths,
                         sel_mat, w_mat, key):
-            from cdae_tpu.models.mf import _pair_contribs
+            from cdae_tpu.models.mf import _pair_contribs, _pointwise_contribs
 
             d = jax.lax.axis_index("data")
             m = jax.lax.axis_index("model")
             offset = m * blk
 
-            def body(carry, inp):
-                uv, uv_ag, iv, iv_ag, ib, ib_ag, key = carry
-                sel, w = inp  # (bs,) replicated — matches single-chip
-                u = users[sel]
-                i = items[sel]
-                pu, pl = pad_items[u], pad_lengths[u]
-                key, sub = jax.random.split(key)
-                # replicated draw: SAME negatives as the single-chip epoch
+            def gather(tab, idx):
+                # tab must be the CURRENT scan-carried block, passed in by
+                # the caller — closing over local_epoch's argument here
+                # would gather from the epoch-initial tables every batch
+                return _psum_gather(tab, idx, offset, "model")
+
+            def agg(idx_local, vals_local, rows, shift):
+                """all-gather contribution rows over 'data' (B·nn·C floats;
+                never U·D or I·C), aggregate into ``rows`` locally."""
+                idx = jax.lax.all_gather(idx_local, "data", tiled=True)
+                vals = jax.lax.all_gather(vals_local, "data", tiled=True)
+                return factored_matmul_scatter_add(idx - shift, vals, rows)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, d * bsl, bsl)
+
+            def pair_chunk(uv, iv, ib, u, i, w, pu, pl, sub):
+                """BPR: (B,) positives × nn sampled negatives; ib rides the
+                item aggregation, ub cancels in the pair score."""
                 neg = sampling.sample_unrated(sub, pu, pl, I, nn)
                 pair_w = w[:, None] * (neg < I).astype(w.dtype)
                 j = jnp.clip(neg, 0, I - 1)
-                lo = d * bsl
-                sl = functools.partial(jax.lax.dynamic_slice_in_dim,
-                                       start_index=lo, slice_size=bsl)
                 u_l, i_l = sl(u), sl(i)
                 j_l, pw_l = sl(j), sl(pair_w)
-                # row reconstruction from the sharded blocks (psum'd)
-                iv_i = _psum_gather(iv, i_l, offset, "model")
-                iv_j = _psum_gather(iv, j_l.reshape(-1), offset,
-                                    "model").reshape(bsl, nn, -1)
-                ib_i = _psum_gather(ib, i_l, offset, "model")
-                ib_j = _psum_gather(ib, j_l.reshape(-1), offset,
-                                    "model").reshape(bsl, nn)
-                d_uv_rows, pos_vals, neg_vals, with_bias = _pair_contribs(
+                iv_i = gather(iv, i_l)
+                iv_j = gather(iv, j_l.reshape(-1)).reshape(bsl, nn, -1)
+                ib_i = gather(ib, i_l)
+                ib_j = gather(ib, j_l.reshape(-1)).reshape(bsl, nn)
+                d_uv, pos_vals, neg_vals, with_ib = _pair_contribs(
                     uv[u_l], iv_i, iv_j, ib_i, ib_j, pw_l, cfg, loss,
                 )
                 C = pos_vals.shape[-1]
-                # contribution rows all-gather over 'data' (B·nn·C floats;
-                # never U·D or I·C), then aggregate locally
-                u_all = jax.lax.all_gather(u_l, "data", tiled=True)
-                duv_all = jax.lax.all_gather(d_uv_rows, "data", tiled=True)
-                acc_idx = jax.lax.all_gather(
-                    jnp.concatenate([i_l, j_l.reshape(-1)]), "data",
-                    tiled=True)
-                acc_vals = jax.lax.all_gather(
-                    jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)]),
-                    "data", tiled=True)
-                # item block: only this shard's blk rows (offset shift;
-                # out-of-block ids contribute nothing)
-                acc = factored_matmul_scatter_add(
-                    acc_idx - offset, acc_vals, blk)
-                # user table: replicated-identical aggregation + apply
-                guv = factored_matmul_scatter_add(u_all, duv_all, U)
-                uv, uv_ag = dense_adagrad_step(uv, uv_ag, guv, lr, beta, uag)
-                iv, iv_ag = dense_adagrad_step(iv, iv_ag, acc[:, :-1]
-                                               if with_bias else acc,
-                                               lr, beta, uag)
-                if with_bias:
-                    ib, ib_ag = dense_adagrad_step(ib, ib_ag, acc[:, -1],
-                                                   lr, beta, uag)
-                return (uv, uv_ag, iv, iv_ag, ib, ib_ag, key), None
+                i_idx = jnp.concatenate([i_l, j_l.reshape(-1)])
+                i_vals = jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)])
+                return u_l, d_uv, None, i_idx, i_vals, with_ib
 
-            carry = (uv, uv_ag, iv, iv_ag, ib, ib_ag, key)
+            def point_chunk(uv, ub, iv, ib, u, i, r, w, pu, pl, sub):
+                """IMF/PMF: per-instance pointwise update; IMF adds nn
+                Bernoulli-complement negatives per positive (same layout
+                as the single-chip IMF._step flatten)."""
+                if sample_negs and nn > 0:
+                    neg = sampling.sample_unrated(sub, pu, pl, I, nn)
+                    all_u = jnp.concatenate(
+                        [u[:, None], jnp.tile(u[:, None], (1, nn))], 1)
+                    all_i = jnp.concatenate([i[:, None], neg], axis=1)
+                    labels = jnp.concatenate([
+                        jnp.full((u.shape[0], 1), loss.positive_label),
+                        jnp.full((u.shape[0], nn), loss.negative_label),
+                    ], axis=1)
+                    all_w = jnp.tile(w[:, None], (1, nn + 1)) * (
+                        all_i < I).astype(w.dtype)
+                    u_f = all_u.reshape(-1)
+                    i_f = jnp.clip(all_i, 0, I - 1).reshape(-1)
+                    lab_f, w_f = labels.reshape(-1), all_w.reshape(-1)
+                else:
+                    u_f, i_f, w_f = u, i, w
+                    lab_f = (r if not sample_negs
+                             else jnp.full_like(r, loss.positive_label))
+                # chunk slices stay user-aligned: bsl·(nn+1) is a multiple
+                # of the per-user (nn+1) run in the row-major flatten
+                k = u_f.shape[0] // bs
+                lo = d * bsl * k
+                slk = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                        start_index=lo, slice_size=bsl * k)
+                u_l, i_l = slk(u_f), slk(i_f)
+                lab_l, w_l = slk(lab_f), slk(w_f)
+                iv_i, ib_i = gather(iv, i_l), gather(ib, i_l)
+                d_uv, d_iv, d_ub, d_ib = _pointwise_contribs(
+                    uv[u_l], iv_i, ub[u_l], ib_i, lab_l, w_l, cfg, loss,
+                )
+                if with_ub:
+                    d_uv = jnp.concatenate([d_uv, d_ub[:, None]], axis=1)
+                    d_iv = jnp.concatenate([d_iv, d_ib[:, None]], axis=1)
+                return u_l, d_uv, None, i_l, d_iv, with_ub
+
+            def body(carry, inp):
+                uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key = carry
+                sel, w = inp  # (bs,) replicated — matches single-chip
+                u = users[sel]
+                i = items[sel]
+                r = ratings[sel]
+                pu, pl = pad_items[u], pad_lengths[u]
+                key, sub = jax.random.split(key)
+                if pairwise:
+                    u_l, u_vals, _, i_idx, i_vals, with_ib = pair_chunk(
+                        uv, iv, ib, u, i, w, pu, pl, sub)
+                else:
+                    u_l, u_vals, _, i_idx, i_vals, with_ib = point_chunk(
+                        uv, ub, iv, ib, u, i, r, w, pu, pl, sub)
+                acc_u = agg(u_l, u_vals, U, 0)  # replicated-identical
+                acc_i = agg(i_idx, i_vals, blk, offset)  # this block only
+                D = uv.shape[1]
+                guv = acc_u[:, :D] if with_ub else acc_u
+                uv, uv_ag = dense_adagrad_step(uv, uv_ag, guv, lr, beta, uag)
+                if with_ub:
+                    ub, ub_ag = dense_adagrad_step(ub, ub_ag, acc_u[:, D],
+                                                   lr, beta, uag)
+                giv = acc_i[:, :D] if with_ib else acc_i
+                iv, iv_ag = dense_adagrad_step(iv, iv_ag, giv, lr, beta, uag)
+                if with_ib:
+                    ib, ib_ag = dense_adagrad_step(ib, ib_ag, acc_i[:, D],
+                                                   lr, beta, uag)
+                return (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key), None
+
+            carry = (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key)
             carry, _ = jax.lax.scan(body, carry, (sel_mat, w_mat))
             return carry[:-1]
 
@@ -214,13 +274,15 @@ class ShardedPairwiseTP(RecsysModel):
         rep = P()
         mapped = shard_map(
             local_epoch, mesh=mesh,
-            in_specs=(rep, rep, blk_spec, blk_spec, vec_spec, vec_spec,
-                      rep, rep, rep, rep, rep, rep, rep),
-            out_specs=(rep, rep, blk_spec, blk_spec, vec_spec, vec_spec),
+            in_specs=(rep, rep, rep, rep, blk_spec, blk_spec, vec_spec,
+                      vec_spec, rep, rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep, blk_spec, blk_spec, vec_spec,
+                       vec_spec),
             check_rep=False,
         )
 
-        def epoch(params, users, items, pad_items, pad_lengths, key):
+        def epoch(params, users, items, ratings, pad_items, pad_lengths,
+                  key):
             kperm, kstep = jax.random.split(key)
             n = users.shape[0]
             perm = jax.random.permutation(kperm, n)
@@ -230,15 +292,16 @@ class ShardedPairwiseTP(RecsysModel):
                     [perm, jnp.zeros((total - n,), perm.dtype)])
             w_all = (jnp.arange(total) < n).astype(jnp.float32)
             out = mapped(
-                params["uv"], params["uv_ag"], params["iv"],
-                params["iv_ag"], params["ib"], params["ib_ag"],
-                users, items, pad_items, pad_lengths,
+                params["uv"], params["uv_ag"], params["ub"],
+                params["ub_ag"], params["iv"], params["iv_ag"],
+                params["ib"], params["ib_ag"],
+                users, items, ratings, pad_items, pad_lengths,
                 perm.reshape(num_batches, bs),
                 w_all.reshape(num_batches, bs), kstep,
             )
             new = dict(params)
-            for k, v in zip(("uv", "uv_ag", "iv", "iv_ag", "ib", "ib_ag"),
-                            out):
+            for k, v in zip(("uv", "uv_ag", "ub", "ub_ag",
+                             "iv", "iv_ag", "ib", "ib_ag"), out):
                 new[k] = v
             return new
 
@@ -247,11 +310,11 @@ class ShardedPairwiseTP(RecsysModel):
     def _device_data(self, state):
         if "tp_device_data" not in state.aux:
             rep = NamedSharding(self.mesh, P())
-            users, items, _ = state.aux["coo"]
+            users, items, ratings = state.aux["coo"]
             pb = state.padded
             state.aux["tp_device_data"] = tuple(
                 jax.device_put(np.asarray(a), rep)
-                for a in (users, items, pb.items, pb.lengths)
+                for a in (users, items, ratings, pb.items, pb.lengths)
             )
         return state.aux["tp_device_data"]
 
@@ -261,9 +324,11 @@ class ShardedPairwiseTP(RecsysModel):
         if self._jit_epoch is None or self._epoch_batches != num_batches:
             self._jit_epoch = self._build_epoch(num_batches, state.num_users)
             self._epoch_batches = num_batches
-        users, items, pad_items, pad_lengths = self._device_data(state)
+        users, items, ratings, pad_items, pad_lengths = (
+            self._device_data(state))
         state.params = self._jit_epoch(
-            state.params, users, items, pad_items, pad_lengths, rng_key)
+            state.params, users, items, ratings, pad_items, pad_lengths,
+            rng_key)
         state.step += 1
         return state
 
@@ -272,9 +337,7 @@ class ShardedPairwiseTP(RecsysModel):
         """Params view with the n_model row padding sliced back off."""
         I = self._num_items
         out = dict(params)
-        for k in ("iv", "iv_ag"):
-            out[k] = params[k][:I]
-        for k in ("ib", "ib_ag"):
+        for k in ("iv", "iv_ag", "ib", "ib_ag"):
             out[k] = params[k][:I]
         return out
 
@@ -290,3 +353,7 @@ class ShardedPairwiseTP(RecsysModel):
 
     def predict(self, state, users, items):
         return self.inner.predict(state, users, items)
+
+
+# the class began life pairwise-only; keep the original name importable
+ShardedPairwiseTP = ShardedMFTP

@@ -288,6 +288,37 @@ def test_sharded_pairwise_matches_single(mesh, model_name):
     assert abs(got["R@10"] - want["R@10"]) < 1e-5
 
 
+@pytest.mark.parametrize("model_name", ["IMF", "PMF"])
+def test_sharded_mf_tp_pointwise_matches_single(mesh, model_name):
+    """ShardedMFTP pointwise family (IMF sampled negatives / PMF ratings):
+    same key stream as the single-chip fused epoch, params match up to
+    float summation order with the item table sharded P('model')."""
+    from cdae_tpu.models import mf as mf_mod
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+    data = _tiny(num_users=48, num_items=64, seed=7)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = mf_mod.MFConfig(num_dim=8, num_neg=2, batch_size=32,
+                          scatter_mode="factored", dense_mode=False)
+    cls = getattr(mf_mod, model_name)
+
+    single = cls(cfg)
+    s_state = single.reset(train, seed=0)
+    tp = ShardedMFTP(cls(cfg), mesh=mesh)
+    m_state = tp.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(6)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = tp.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+
 def test_sharded_pairwise_tp_matches_single(mesh):
     """ShardedPairwiseTP (item table PHYSICALLY sharded over 'model',
     batch over 'data'): same key stream as the single-chip fused epoch,
