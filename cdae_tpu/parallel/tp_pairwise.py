@@ -6,8 +6,9 @@ memory-scaling variant (ROADMAP "item-sharded pairwise"): the item factor
 table ``iv`` (I, D), item bias ``ib`` (I,) and their AdaGrad accumulators
 live sharded P('model') across the mesh — per-chip item-table memory is
 I/n_model rows — while the minibatch math shards over 'data'. Covers the
-sparse fused-epoch MF family: BPR (pairwise, ref bpr.hpp:72-106) and
-IMF/PMF (pointwise, ref imf.hpp:71-115 / pmf.hpp:80-104).
+sparse fused-epoch MF family: BPR (pairwise, ref bpr.hpp:72-106), WARP
+(candidate-scan violator path, ref warp.hpp:63-117) and IMF/PMF
+(pointwise, ref imf.hpp:71-115 / pmf.hpp:80-104).
 
 The step is an explicit shard_map (the repo's GSPMD finding, COMMS.md: the
 solver prefers replicating these programs at small widths, and constraints
@@ -34,9 +35,11 @@ Trajectory: negatives are drawn replicated with the SAME key stream and
 shapes as the single-chip fused epoch (models/mf._epoch_fn), so training
 matches the single-chip model up to float summation order (tested).
 
-Scope: BPR/IMF/PMF. WARP's dense violator path needs the full (B, I)
-score row and has its own sharded story (the DP ShardedPairwise);
-FISM/NegMF/ALS have dedicated sharded trainers (parallel/trainer.py).
+Scope: BPR/WARP/IMF/PMF. WARP here always runs the candidate-scan path —
+its dense violator path needs the (U, I) rated mask, which is exactly
+what doesn't fit at the catalog scales TP exists for (the DP
+ShardedPairwise covers it); FISM/NegMF/ALS have dedicated sharded
+trainers (parallel/trainer.py).
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ def _psum_gather(block, idx, offset, axis):
 
 
 class ShardedMFTP(RecsysModel):
-    """BPR/IMF/PMF over a ('data', 'model') mesh, item table sharded.
+    """BPR/WARP/IMF/PMF over a ('data', 'model') mesh, item table sharded.
 
     Drop-in for Solver/Evaluation like the wrapped model. Requires
     cfg.batch_size % n_data == 0 (each data shard owns an equal instance
@@ -82,19 +85,23 @@ class ShardedMFTP(RecsysModel):
     name = "ShardedMFTP"
 
     def __init__(self, inner, mesh: Optional[Mesh] = None):
-        from cdae_tpu.models.mf import BPR, IMF, PMF
+        from cdae_tpu.models.mf import BPR, IMF, PMF, WARP
         from cdae_tpu.parallel.mesh import make_mesh
 
-        if not isinstance(inner, (BPR, IMF, PMF)):
+        if not isinstance(inner, (BPR, IMF, PMF, WARP)):
             raise TypeError(
-                "ShardedMFTP shards the BPR/IMF/PMF item table; got "
-                f"{type(inner)} (WARP: use the DP ShardedPairwise)"
+                "ShardedMFTP shards the BPR/WARP/IMF/PMF item table; got "
+                f"{type(inner)}"
             )
         self.inner = inner
         self.cfg = inner.cfg
         self.loss = inner.loss
         self.name = f"Sharded{inner.name}TP"
-        self._pairwise = isinstance(inner, BPR)
+        # WARP always runs the candidate-SCAN violator path here: the dense
+        # path's (U, I) rated mask is exactly what doesn't fit at TP scale
+        self._mode = ("warp" if isinstance(inner, WARP)
+                      else "pair" if isinstance(inner, BPR) else "point")
+        self._pairwise = self._mode == "pair"
         self._sample_negs = not isinstance(inner, PMF)
         self.mesh = mesh if mesh is not None else make_mesh(n_model=2)
         nd = self.mesh.shape["data"]
@@ -147,10 +154,11 @@ class ShardedMFTP(RecsysModel):
         nd = mesh.shape["data"]
         bs = cfg.batch_size
         bsl = bs // nd
-        nn = max(cfg.num_neg, 1 if self._pairwise else 0)
+        mode = self._mode
+        nn = max(cfg.num_neg, 0 if mode == "point" else 1)
         lr, beta, uag = cfg.learn_rate, cfg.beta, cfg.using_adagrad
-        pairwise, sample_negs = self._pairwise, self._sample_negs
-        with_ub = (not pairwise) and cfg.using_bias_term
+        sample_negs = self._sample_negs
+        with_ub = mode == "point" and cfg.using_bias_term
 
         def local_epoch(uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag,
                         users, items, ratings, pad_items, pad_lengths,
@@ -194,6 +202,43 @@ class ShardedMFTP(RecsysModel):
                 )
                 C = pos_vals.shape[-1]
                 i_idx = jnp.concatenate([i_l, j_l.reshape(-1)])
+                i_vals = jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)])
+                return u_l, d_uv, None, i_idx, i_vals, with_ib
+
+            def warp_chunk(uv, iv, ib, u, i, w, pu, pl, sub):
+                """WARP candidate-scan path (ref warp.hpp:63-117): nn·T
+                complement candidates per positive, first violator wins,
+                harmonic rank weight; bias updates off like the reference."""
+                from cdae_tpu.models.mf import _pair_contribs, _warp_harmonic
+
+                T = max(cfg.num_tries, 1)
+                cand_raw = sampling.sample_unrated(sub, pu, pl, I, nn * T)
+                u_l, i_l, w_l = sl(u), sl(i), sl(w)
+                cand_l = sl(cand_raw).reshape(bsl, nn, T)
+                valid = cand_l < I
+                cand = jnp.clip(cand_l, 0, I - 1)
+                uv_u = uv[u_l]
+                iv_i, ib_i = gather(iv, i_l), gather(ib, i_l)
+                iv_c = gather(iv, cand.reshape(-1)).reshape(bsl, nn, T, -1)
+                ib_c = gather(ib, cand.reshape(-1)).reshape(bsl, nn, T)
+                yui = ib_i + jnp.sum(uv_u * iv_i, -1)
+                yuj = ib_c + jnp.einsum("bd,bntd->bnt", uv_u, iv_c)
+                violation = (yuj > (yui[:, None, None] - 1.0)) & valid
+                found = jnp.any(violation, -1)
+                first = jnp.argmax(violation, -1)
+                j = jnp.take_along_axis(cand, first[..., None], -1)[..., 0]
+                items_left = jnp.maximum(I - sl(pl), 1)
+                rw = _warp_harmonic(I)[
+                    jnp.clip(items_left[:, None] // (first + 1), 0, I - 1)]
+                pair_w = w_l[:, None] * found
+                iv_j = gather(iv, j.reshape(-1)).reshape(bsl, nn, -1)
+                ib_j = gather(ib, j.reshape(-1)).reshape(bsl, nn)
+                d_uv, pos_vals, neg_vals, with_ib = _pair_contribs(
+                    uv_u, iv_i, iv_j, ib_i, ib_j, pair_w, cfg, loss,
+                    rank_weight=rw, update_bias=False,
+                )
+                C = pos_vals.shape[-1]
+                i_idx = jnp.concatenate([i_l, j.reshape(-1)])
                 i_vals = jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)])
                 return u_l, d_uv, None, i_idx, i_vals, with_ib
 
@@ -244,8 +289,11 @@ class ShardedMFTP(RecsysModel):
                 r = ratings[sel]
                 pu, pl = pad_items[u], pad_lengths[u]
                 key, sub = jax.random.split(key)
-                if pairwise:
+                if mode == "pair":
                     u_l, u_vals, _, i_idx, i_vals, with_ib = pair_chunk(
+                        uv, iv, ib, u, i, w, pu, pl, sub)
+                elif mode == "warp":
+                    u_l, u_vals, _, i_idx, i_vals, with_ib = warp_chunk(
                         uv, iv, ib, u, i, w, pu, pl, sub)
                 else:
                     u_l, u_vals, _, i_idx, i_vals, with_ib = point_chunk(

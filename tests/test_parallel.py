@@ -319,6 +319,37 @@ def test_sharded_mf_tp_pointwise_matches_single(mesh, model_name):
         )
 
 
+def test_sharded_warp_tp_matches_single_scan_path(mesh):
+    """ShardedMFTP(WARP) runs the candidate-scan violator path with the
+    same key stream as the single-chip scan epoch (dense_mode=False forces
+    the scan path on the single-chip side too): params match up to float
+    summation order."""
+    from cdae_tpu.models.mf import WARP, MFConfig
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+    data = _tiny(num_users=48, num_items=64, seed=13)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = MFConfig(num_dim=8, num_neg=2, num_tries=6, batch_size=32,
+                   loss="HINGE", lambda_=0.1, beta=0.0,
+                   scatter_mode="factored", dense_mode=False)
+
+    single = WARP(cfg)
+    s_state = single.reset(train, seed=0)
+    tp = ShardedMFTP(WARP(cfg), mesh=mesh)
+    m_state = tp.reset(train, seed=0)
+
+    key = jax.random.PRNGKey(8)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_state = single.train_one_iteration(s_state, sub)
+        m_state = tp.train_one_iteration(m_state, sub)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+
 def test_sharded_pairwise_tp_matches_single(mesh):
     """ShardedPairwiseTP (item table PHYSICALLY sharded over 'model',
     batch over 'data'): same key stream as the single-chip fused epoch,
