@@ -175,6 +175,22 @@ def main():
                                 sel, wm, key).compile().as_text()
     reports["bpr_pairwise_epoch"] = audit_hlo(hlo)
 
+    # --- item-sharded TP pairwise epoch (explicit shard_map collectives) ---
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+    tp = ShardedMFTP(
+        BPR(MFConfig(num_dim=args.dim, num_neg=2, batch_size=B,
+                     dense_mode=False)),
+        mesh=mesh,
+    )
+    tstate = tp.reset(data, seed=0)
+    tn = len(tstate.aux["coo"][0])
+    tep = tp._build_epoch(max(-(-tn // B), 1), U)
+    tdu, tdi, tdr, tdpi, tdpl = tp._device_data(tstate)
+    hlo = tep.lower(tstate.params, tdu, tdi, tdr, tdpi, tdpl,
+                    key).compile().as_text()
+    reports["bpr_tp_epoch"] = audit_hlo(hlo)
+
     # --- sharded dense FISM step ---
     from cdae_tpu.models.fism import FISMConfig
     from cdae_tpu.parallel.trainer import ShardedFISM
@@ -222,6 +238,22 @@ def main():
                     f"| {k} | {v['count']} | {v['bytes']:,} | "
                     f"{v['max_bytes']:,} |")
         lines.append("")
+        if name == "bpr_tp_epoch":
+            iv_full = args.items * args.dim * 4
+            big = max((o["bytes"] for o in ops), default=0)
+            verdict = (
+                f"OK: largest collective op ({big:,} B) << full iv table "
+                f"({iv_full:,} B) — the item-sharded TP epoch moves only "
+                "O(B·nn·D) row reconstructions (psum over 'model') and "
+                "contribution rows (all-gather over 'data'); per-chip "
+                "item-table memory is I/n_model rows."
+                if big < iv_full // 2 else
+                f"WARNING: largest collective {big:,} B vs full iv "
+                f"{iv_full:,} B — the TP epoch may be moving whole tables."
+            )
+            ok = ok and big < iv_full // 2
+            lines.append(verdict)
+            lines.append("")
         if name == "cdae_sparse_train_step":
             full_W = state.params["W"].size * 4
             shard_W = full_W // 2  # item axis split over n_model=2
