@@ -51,6 +51,20 @@ uids, items, mask, lengths, weight = make_batch(
 out = step(params, jnp.asarray(uids), jnp.asarray(items), jnp.asarray(mask),
            jnp.asarray(lengths), jnp.asarray(weight), jax.random.PRNGKey(0))
 jax.block_until_ready(out)
+
+# item-sharded TP pairwise epoch: iv/ib blocks live on DIFFERENT processes,
+# so the psum row-gathers and contribution all-gathers cross the process
+# boundary (parallel/tp_pairwise.ShardedMFTP)
+from cdae_tpu.models.mf import BPR, MFConfig
+from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+tp = ShardedMFTP(BPR(MFConfig(num_dim=8, num_neg=2, batch_size=16,
+                              dense_mode=False)), mesh=mesh)
+tstate = tp.reset(data, seed=0)
+tstate = tp.train_one_iteration(tstate, jax.random.PRNGKey(1))
+jax.block_until_ready(tstate.params)
+for s in tstate.params["iv"].addressable_shards:
+    assert np.all(np.isfinite(np.asarray(s.data)))
+
 print(f"proc {jax.process_index()} OK")
 """
 
