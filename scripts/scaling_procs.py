@@ -128,6 +128,57 @@ if jax.process_index() == 0:
 """
 
 
+_WORKER_TP = r"""
+import json, os, sys, time
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=1 "
+                           "--xla_cpu_multi_thread_eigen=false")
+import jax
+jax.config.update("jax_platforms", "cpu")
+from cdae_tpu.parallel.distributed import initialize
+initialize()
+import numpy as np
+import jax.numpy as jnp
+from cdae_tpu.data.dataset import Interactions
+from cdae_tpu.models.mf import BPR, MFConfig
+from cdae_tpu.parallel.mesh import make_mesh
+from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+B = int(os.environ["SCALE_BATCH"])
+STEPS = int(os.environ["SCALE_STEPS"])
+# TP weak scaling: the CATALOG grows with the process count (each process
+# owns a fixed I/n_model item block); batch stays fixed. Ideal = flat
+# epoch time per interaction.
+U, I = 2048, 1024 * jax.process_count()
+
+rng = np.random.default_rng(0)
+pairs = np.unique(rng.integers(0, U * I, U * 40))
+data = Interactions.from_arrays((pairs // I).astype(np.int32),
+                                (pairs % I).astype(np.int32),
+                                num_users=U, num_items=I)
+model = ShardedMFTP(
+    BPR(MFConfig(num_dim=10, num_neg=5, batch_size=B, dense_mode=False)),
+    mesh=make_mesh(n_data=1),  # all processes on 'model'
+)
+state = model.reset(data, seed=0)
+gsum = jax.jit(lambda a: jnp.sum(a))  # global-array readback
+key = jax.random.PRNGKey(0)
+key, sub = jax.random.split(key)
+state = model.train_one_iteration(state, sub)      # compile + warmup epoch
+_ = float(gsum(state.params["iv"]))
+t0 = time.perf_counter()
+for s in range(STEPS):
+    key, sub = jax.random.split(key)
+    state = model.train_one_iteration(state, sub)
+_ = float(gsum(state.params["iv"]))
+dt = time.perf_counter() - t0
+if jax.process_index() == 0:
+    print(json.dumps({"procs": jax.process_count(),
+                      "items": I,
+                      "users_per_sec": round(U * STEPS / dt, 1),
+                      "step_ms": round(dt / STEPS * 1e3, 2)}))
+"""
+
+
 def free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -141,7 +192,8 @@ def run_group(n, batch, steps, repo, model="cdae"):
     with tempfile.TemporaryDirectory() as td:
         script = os.path.join(td, "worker.py")
         with open(script, "w") as f:
-            f.write(_WORKER_BPR if model == "bpr" else _WORKER)
+            f.write({"bpr": _WORKER_BPR, "tp": _WORKER_TP}.get(model,
+                                                               _WORKER))
         procs = []
         for pid in range(n):
             env = dict(
@@ -175,9 +227,11 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--sizes", type=int, nargs="*", default=[1, 2, 4])
-    ap.add_argument("--model", default="cdae", choices=["cdae", "bpr"],
+    ap.add_argument("--model", default="cdae", choices=["cdae", "bpr", "tp"],
                     help="cdae = sharded dense step; bpr = ShardedPairwise "
-                         "fused epoch (step_ms is then ms/EPOCH)")
+                         "fused epoch (step_ms is then ms/EPOCH); tp = "
+                         "ShardedMFTP item-sharded epoch, catalog grows "
+                         "with the process count (TP weak scaling)")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
