@@ -117,6 +117,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--sim_topk", type=int, default=50)
     p.add_argument("--scalar", type=float, default=40.0, help="WRMF scale")
     p.add_argument("--alpha", type=int, default=1, help="FISM alpha")
+    p.add_argument("--sharded", type=_booly, default=False,
+                   help="multi-chip: wrap --method in its mesh-sharded "
+                        "trainer over a ('data','model') device mesh")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="devices on the 'model' (item) mesh axis; the rest "
+                        "go to 'data'")
+    p.add_argument("--shard_items", type=_booly, default=False,
+                   help="with --sharded: item-sharded TP for the sparse MF "
+                        "family (ShardedMFTP) — item tables + AdaGrad state "
+                        "split over 'model' for catalogs beyond one chip")
     return p
 
 
@@ -193,6 +203,39 @@ def build_model(args):
     raise SystemExit(f"unknown --method {args.method}")
 
 
+def wrap_sharded(model, args):
+    """--sharded dispatch: the mesh-parallel trainer for --method (the
+    multi-chip layer the reference does not have, SURVEY §2e). Drop-in for
+    Solver/Evaluation; mesh shape from --mesh_model (rest on 'data')."""
+    from cdae_tpu import models as M
+    from cdae_tpu.parallel import trainer as T
+    from cdae_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_model=max(args.mesh_model, 1))
+    if isinstance(model, M.CDAE):
+        return T.ShardedCDAE(model.cfg, mesh=mesh)
+    if isinstance(model, (M.BPR, M.WARP, M.IMF, M.PMF)):
+        if args.shard_items:
+            from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+            return ShardedMFTP(model, mesh=mesh)
+        if isinstance(model, M.IMF) and _booly(args.dense_mode):
+            return T.ShardedIMF(model.cfg, mesh=mesh)  # dense (U,I) slabs
+        return T.ShardedPairwise(model, mesh=mesh)
+    if isinstance(model, M.WRMF):  # before ALS: WRMF subclasses it
+        return T.ShardedWRMF(model.cfg, mesh=mesh)
+    if isinstance(model, M.ALS):
+        return T.ShardedALS(model.cfg, mesh=mesh)
+    if isinstance(model, M.FISMPair):
+        raise SystemExit("--sharded does not cover FISMPAIR (pointwise "
+                         "ShardedFISM only); train it single-chip")
+    if isinstance(model, M.FISM):
+        return T.ShardedFISM(model.cfg, mesh=mesh)
+    if isinstance(model, M.NegMF):
+        return T.ShardedNegMF(model, mesh=mesh)
+    raise SystemExit(f"--sharded not supported for --method {args.method}")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
     eval_types = [e.strip() for e in args.eval.split(",") if e.strip()]
@@ -264,6 +307,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     solver_cls = (
         SGDSolver if isinstance(model, (FISM, LinearModel)) else Solver
     )
+    if args.sharded:
+        model = wrap_sharded(model, args)
     solver = solver_cls(model, max_iteration=args.max_iters,
                         eval_iterations=args.eval_iters, seed=args.seed,
                         trace_dir=args.trace_dir or None,

@@ -56,6 +56,25 @@ def test_cli_mf_method(tmp_path, movielens_path):
     assert rc == 0
 
 
+@pytest.mark.parametrize("extra", [
+    ["--method", "CDAE", "--num_dim", "6", "--batch_size", "32"],
+    ["--method", "BPR", "--num_dim", "4", "--batch_size", "64"],
+    ["--method", "BPR", "--num_dim", "4", "--batch_size", "64",
+     "--shard_items", "true"],
+    ["--method", "ALS"],
+])
+def test_cli_sharded_train(tmp_path, movielens_path, extra):
+    """--sharded wraps --method in its mesh trainer (ShardedCDAE /
+    ShardedPairwise / ShardedMFTP / ShardedALS) on the fake 8-dev mesh."""
+    cache = str(tmp_path / "ml.bin")
+    main(["--task", "prepare", "--input_file", movielens_path,
+          "--cache_file", cache, "--parser", "movielens"])
+    rc = main(["--task", "train", "--sharded", "true", "--mesh_model", "2",
+               "--max_iters", "2", "--eval_iters", "2", "--skip_popularity",
+               "--cache_file", cache] + extra)
+    assert rc == 0
+
+
 def test_checkpoint_roundtrip(tmp_path, movielens_path):
     data = Interactions.from_text(movielens_path, movielens_line_parser)
     train, _ = data.split_by_user(0.2, seed=1)
