@@ -123,7 +123,7 @@ def build_topk_neighbors_sharded(
     builds its row slice against the replicated binary matrix with ZERO
     collectives. Results are exactly equal to the serial build (same dots,
     per-row top-k independent of blocking)."""
-    from jax.experimental.shard_map import shard_map
+    from cdae_tpu.ops.shard_compat import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = list(devices) if devices is not None else jax.devices()

@@ -129,7 +129,7 @@ def factored_matmul_scatter_add(
     if _BATCH_MESH is not None and P % (
         _BATCH_MESH[0].shape[_BATCH_MESH[1]]
     ) == 0:
-        from jax.experimental.shard_map import shard_map
+        from cdae_tpu.ops.shard_compat import shard_map
         from jax.sharding import PartitionSpec
 
         mesh, axis = _BATCH_MESH

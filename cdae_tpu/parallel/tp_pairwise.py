@@ -50,7 +50,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from cdae_tpu.ops.shard_compat import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cdae_tpu.data.dataset import Interactions

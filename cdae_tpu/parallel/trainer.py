@@ -360,7 +360,7 @@ class ShardedALS(RecsysModel):
         self._iter = None
 
     def reset(self, data: Interactions, seed: int = 0):
-        from jax.experimental.shard_map import shard_map
+        from cdae_tpu.ops.shard_compat import shard_map
         from jax.sharding import Mesh as FlatMesh
 
         from cdae_tpu.models.als import _solve_side_math
