@@ -100,6 +100,28 @@ def main():
               "skewed; set BENCH_MEASURE_BASELINE=1 to re-measure",
               file=sys.stderr)
 
+    # device watchdog: a wedged axon tunnel makes the first dispatch hang
+    # forever (CLAUDE.md) — probe in a killable subprocess so a dead tunnel
+    # yields an honest error line instead of an eternal hang
+    probe_s = float(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+    if probe_s > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+                timeout=probe_s, check=True, capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            print(json.dumps({
+                "metric": "cdae_train_users_per_sec", "value": 0,
+                "unit": "users/s", "vs_baseline": 0,
+                "error": f"device unreachable: {type(e).__name__} "
+                         f"(tunnel probe, {probe_s:.0f}s)",
+            }))
+            return 1
+
     import jax
 
     from cdae_tpu.models.cdae import CDAE, CDAEConfig
@@ -187,4 +209,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
