@@ -140,6 +140,40 @@ def test_exact_resume_bitwise(tmp_path, movielens_path):
         )
 
 
+def test_exact_resume_sharded_tp(tmp_path, movielens_path):
+    """Exact resume holds for the item-sharded TP trainer too: the padded
+    P('model') tables round-trip through the checkpoint and the resumed
+    run matches an unbroken one (up to the trainer's own float summation
+    order, which is deterministic — so bitwise)."""
+    from cdae_tpu.models.mf import BPR, MFConfig
+    from cdae_tpu.parallel.mesh import make_mesh
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+    from cdae_tpu.solver.solver import Solver
+
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    train, test = data.split_by_user(0.2, seed=1)
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    def make():
+        return ShardedMFTP(
+            BPR(MFConfig(num_dim=4, num_neg=2, batch_size=32,
+                         dense_mode=False)), mesh=mesh)
+
+    full = Solver(make(), max_iteration=4, seed=7, verbose=False).train(
+        train, test, [])
+    path = str(tmp_path / "tp_resume.ckpt")
+    Solver(make(), max_iteration=2, seed=7, verbose=False).train(
+        train, test, [], checkpoint_path=path)
+    resumed = Solver(make(), max_iteration=4, seed=7, verbose=False).train(
+        train, test, [], resume_from=path)
+    assert resumed.step == full.step == 4
+    for k in full.params:
+        np.testing.assert_array_equal(
+            np.asarray(full.params[k]), np.asarray(resumed.params[k]),
+            err_msg=f"param {k} diverged after TP resume",
+        )
+
+
 def test_resume_rejects_config_mismatch(tmp_path, movielens_path):
     """A checkpoint written under one config refuses to resume another
     (fingerprint covers model class + config + data dims)."""
