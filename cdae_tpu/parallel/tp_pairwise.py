@@ -145,6 +145,24 @@ class ShardedMFTP(RecsysModel):
         }
         self._num_items = I
         self._jit_epoch = None
+
+        # mesh-sharded scorer: the (B, I) score matrix stays sharded over
+        # ('data','model') — eval never gathers the item table onto one
+        # chip (the single-chip scorer would, defeating TP at eval time)
+        from cdae_tpu.models.mf import _mf_batch_scores
+
+        mesh = self.mesh
+
+        def score(params, uids):
+            s = _mf_batch_scores(params, uids)  # (B, I_pad)
+            # pin the padded matmul sharded over both axes (I_pad divides
+            # n_model); the trim to the real catalog width then only moves
+            # the boundary block — pad rows must never be recommended
+            s = jax.lax.with_sharding_constraint(
+                s, NamedSharding(mesh, P("data", "model")))
+            return s[:, :I]
+
+        self._scores_fn = jax.jit(score)
         return state
 
     # ------------------------------------------------------------- epoch ----
@@ -381,14 +399,6 @@ class ShardedMFTP(RecsysModel):
         return state
 
     # -------------------------------------------------------- loss / eval ---
-    def _trimmed(self, params):
-        """Params view with the n_model row padding sliced back off."""
-        I = self._num_items
-        out = dict(params)
-        for k in ("iv", "iv_ag", "ib", "ib_ag"):
-            out[k] = params[k][:I]
-        return out
-
     def data_loss(self, state) -> float:
         return self.inner.data_loss(state)  # gathers by real id: pad inert
 
@@ -396,8 +406,9 @@ class ShardedMFTP(RecsysModel):
         return self.inner.penalty_loss(state)  # zero pad rows: zero penalty
 
     def batch_scores(self, state, uids, rated_items, rated_mask):
-        return self.inner._jit_scores(self._trimmed(state.params),
-                                      jnp.asarray(uids))
+        uids = jax.device_put(np.asarray(uids, dtype=np.int32),
+                              NamedSharding(self.mesh, P("data")))
+        return self._scores_fn(state.params, uids)
 
     def predict(self, state, users, items):
         return self.inner.predict(state, users, items)
