@@ -319,6 +319,42 @@ def test_sharded_mf_tp_pointwise_matches_single(mesh, model_name):
         )
 
 
+def test_sharded_mf_tp_rejects_bad_configs(mesh):
+    """Batch must divide the 'data' axis; only the sparse MF family is
+    TP-shardable (ALS/FISM/NegMF have dedicated trainers)."""
+    from cdae_tpu.models.als import ALS, ALSConfig
+    from cdae_tpu.models.mf import BPR, MFConfig
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+    with pytest.raises(ValueError, match="divide"):
+        ShardedMFTP(BPR(MFConfig(num_dim=4, batch_size=30)), mesh=mesh)
+    with pytest.raises(TypeError, match="item table"):
+        ShardedMFTP(ALS(ALSConfig(num_dim=4)), mesh=mesh)
+
+
+def test_sharded_imf_tp_no_negatives(mesh):
+    """num_neg=0 pointwise branch (pure positives) matches single-chip."""
+    from cdae_tpu.models.mf import IMF, MFConfig
+    from cdae_tpu.parallel.tp_pairwise import ShardedMFTP
+
+    data = _tiny(num_users=48, num_items=64, seed=17)
+    train, _ = data.split_by_user(0.25, seed=1)
+    cfg = MFConfig(num_dim=6, num_neg=0, batch_size=32,
+                   scatter_mode="factored", dense_mode=False)
+    single = IMF(cfg)
+    s_state = single.reset(train, seed=0)
+    tp = ShardedMFTP(IMF(cfg), mesh=mesh)
+    m_state = tp.reset(train, seed=0)
+    key = jax.random.PRNGKey(2)
+    s_state = single.train_one_iteration(s_state, key)
+    m_state = tp.train_one_iteration(m_state, key)
+    for k in s_state.params:
+        np.testing.assert_allclose(
+            np.asarray(m_state.params[k]), np.asarray(s_state.params[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k,
+        )
+
+
 def test_sharded_warp_tp_matches_single_scan_path(mesh):
     """ShardedMFTP(WARP) runs the candidate-scan violator path with the
     same key stream as the single-chip scan epoch (dense_mode=False forces
