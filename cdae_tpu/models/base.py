@@ -195,3 +195,22 @@ class RecsysModel:
     def predict(self, state, users, items):
         """Pointwise predictions for (user, item) pairs (RMSE/MAE evals)."""
         raise NotImplementedError
+
+    def recommend(self, state, uids, train_data: Interactions, k: int = 10):
+        """Top-k UNRATED item ids per user — the reference's recommend()
+        (ref recsys_model_base.hpp:77-104: a per-user heap scan of the
+        whole catalog; here one batched masked lax.top_k over the score
+        matrix). ``train_data`` supplies the rated sets to exclude (and the
+        encoder inputs for models that score from rated rows, e.g. CDAE).
+        Returns (B, k) int32 ids; id == num_items marks a padding slot
+        (catalog smaller than k)."""
+        import jax.numpy as jnp
+
+        from cdae_tpu.ops.topk import topk_unrated
+
+        uids = np.asarray(uids, dtype=np.int32).reshape(-1)
+        pb = train_data.padded()
+        rated, mask = pb.items[uids], pb.mask[uids]
+        scores = self.batch_scores(state, uids, rated, mask)
+        ids, _ = topk_unrated(jnp.asarray(scores), jnp.asarray(rated), k)
+        return np.asarray(ids)

@@ -385,3 +385,29 @@ def test_negmf_dense_learns(splits):
     solver.train(train, test, ["TOPN"])
     assert "dense_R" in solver.state.aux
     assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+
+def test_recommend_api_excludes_rated(splits):
+    """RecsysModel.recommend (ref recsys_model_base.hpp:77-104): top-k ids
+    never include the user's rated items and match a manual masked top-k
+    of batch_scores."""
+    from cdae_tpu.models.mf import IMF, MFConfig
+
+    train, _ = splits
+    model = IMF(MFConfig(num_dim=6, num_neg=2, batch_size=64))
+    state = model.reset(train, seed=0)
+    state = model.train_one_iteration(state, jax.random.PRNGKey(0))
+
+    uids = np.arange(min(8, train.num_users), dtype=np.int32)
+    rec = model.recommend(state, uids, train, k=5)
+    assert rec.shape == (len(uids), 5)
+    pb = train.padded()
+    for r, u in zip(rec, uids):
+        rated = set(pb.items[u][pb.mask[u]].tolist())
+        assert not (set(r.tolist()) & rated), f"user {u} got rated items"
+    # manual masked top-k agrees
+    from cdae_tpu.ops.topk import topk_unrated
+
+    scores = model.batch_scores(state, uids, pb.items[uids], pb.mask[uids])
+    want, _ = topk_unrated(jnp.asarray(scores), jnp.asarray(pb.items[uids]), 5)
+    np.testing.assert_array_equal(rec, np.asarray(want))
