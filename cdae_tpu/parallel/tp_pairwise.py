@@ -163,6 +163,20 @@ class ShardedMFTP(RecsysModel):
             return s[:, :I]
 
         self._scores_fn = jax.jit(score)
+
+        # batch_topk path: scores stay (B, I_pad) sharded (pad cols -inf)
+        # and feed the distributed per-shard top-k merge directly
+        from cdae_tpu.ops.topk import NEG_INF
+
+        def score_padded(params, uids):
+            s = _mf_batch_scores(params, uids)
+            cols = jax.lax.iota(jnp.int32, s.shape[1])[None, :]
+            return jnp.where(cols < I, s, NEG_INF)
+
+        self._scores_pad_fn = jax.jit(
+            score_padded,
+            out_shardings=NamedSharding(mesh, P("data", "model")),
+        )
         return state
 
     # ------------------------------------------------------------- epoch ----
@@ -406,9 +420,37 @@ class ShardedMFTP(RecsysModel):
         return self.inner.penalty_loss(state)  # zero pad rows: zero penalty
 
     def batch_scores(self, state, uids, rated_items, rated_mask):
-        uids = jax.device_put(np.asarray(uids, dtype=np.int32),
-                              NamedSharding(self.mesh, P("data")))
-        return self._scores_fn(state.params, uids)
+        uids = np.asarray(uids, dtype=np.int32).reshape(-1)
+        B = len(uids)
+        pad = (-B) % self.mesh.shape["data"]  # P('data') needs divisibility
+        if pad:
+            uids = np.concatenate([uids, np.zeros(pad, np.int32)])
+        out = self._scores_fn(state.params, jax.device_put(
+            uids, NamedSharding(self.mesh, P("data"))))
+        return out[:B] if pad else out
+
+    def batch_topk(self, state, uids, rated_items, rated_mask, k):
+        """Evaluation fast path: per-shard top-k over the item-sharded
+        score blocks, merged over 'model' (parallel/topk.py) — the full
+        (B, I) matrix is never gathered onto one chip."""
+        from cdae_tpu.parallel.topk import distributed_topk_unrated
+
+        uids = np.asarray(uids, dtype=np.int32).reshape(-1)
+        rated = np.asarray(rated_items, dtype=np.int32)
+        B = len(uids)
+        nd = self.mesh.shape["data"]
+        pad = (-B) % nd  # shard_map needs the batch to divide 'data'
+        if pad:
+            uids = np.concatenate([uids, np.zeros(pad, np.int32)])
+            rated = np.concatenate(
+                [rated, np.full((pad, rated.shape[1]), self._num_items,
+                                np.int32)])
+        scores = self._scores_pad_fn(
+            state.params,
+            jax.device_put(uids, NamedSharding(self.mesh, P("data"))))
+        ids, _ = distributed_topk_unrated(self.mesh, scores,
+                                          jnp.asarray(rated), k)
+        return np.asarray(ids)[:B]
 
     def predict(self, state, users, items):
         return self.inner.predict(state, users, items)

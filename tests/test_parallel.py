@@ -439,6 +439,17 @@ def test_sharded_pairwise_tp_matches_single(mesh):
     scores = tp.batch_scores(m_state, np.arange(4), None, None)
     assert scores.shape[1] == 63
 
+    # distributed batch_topk == masked top-k of the gathered scores, incl.
+    # a batch size that does NOT divide the 'data' axis (internal padding)
+    from cdae_tpu.ops.topk import topk_unrated
+
+    pb = train.padded()
+    uids = np.arange(7, dtype=np.int32)
+    rec = tp.batch_topk(m_state, uids, pb.items[uids], pb.mask[uids], 5)
+    s = tp.batch_scores(m_state, uids, pb.items[uids], pb.mask[uids])
+    want, _ = topk_unrated(jnp.asarray(s), jnp.asarray(pb.items[uids]), 5)
+    np.testing.assert_array_equal(rec, np.asarray(want))
+
 
 def test_sharded_negmf_matches_single(mesh):
     """ShardedNegMF: same key stream as single-chip NegMF's fused epoch,
