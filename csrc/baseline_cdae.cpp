@@ -904,6 +904,54 @@ int run_parity_mf(int argc, char** argv) {
 
 bool read_triples(const char* path,
                   std::vector<std::vector<std::pair<int, float>>>& rated,
+                  size_t& num_users, size_t& num_items);
+
+// parity_pmf train.txt test.txt [iters dim lr]
+// PMF reference semantics (ref pmf.hpp:71-115): rating MF over OBSERVED
+// entries only — per-user sequential SQUARE-loss AdaGrad steps with the
+// actual rating as the label, no negative sampling. Reports test RMSE
+// (the reference's RMSE evaluator, evaluation.hpp:74-101).
+int run_parity_pmf(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_pmf train.txt test.txt "
+                 "[iters dim lr]\n");
+    return 2;
+  }
+  size_t iters = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 30;
+  size_t D = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 10;
+  float lr = argc > 6 ? std::strtof(argv[6], nullptr) : 0.1f;
+
+  std::vector<std::vector<std::pair<int, float>>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_triples(argv[2], train, U, I)) return 3;
+  if (!read_triples(argv[3], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+
+  MFModel m(U, I, D, lr, 1.f, 0.01f, 0);  // beta=1, lambda=0.01 (pmf.hpp)
+  for (size_t it = 0; it < iters; ++it)
+    for (size_t u = 0; u < U; ++u)
+      for (auto& pr : train[u])
+        m.imf_step(u, (size_t)pr.first, pr.second);
+
+  double se = 0;
+  size_t n = 0;
+  for (size_t u = 0; u < U; ++u)
+    for (auto& pr : test[u]) {
+      double d = (double)m.predict(u, (size_t)pr.first) - (double)pr.second;
+      se += d * d;
+      ++n;
+    }
+  std::printf(
+      "{\"rmse\": %.5f, \"n_test\": %zu, \"method\": \"PMF\", "
+      "\"iters\": %zu, \"dim\": %zu}\n",
+      std::sqrt(se / (double)n), n, iters, D);
+  return 0;
+}
+
+bool read_triples(const char* path,
+                  std::vector<std::vector<std::pair<int, float>>>& rated,
                   size_t& num_users, size_t& num_items) {
   std::ifstream f(path);
   if (!f) return false;
@@ -1031,6 +1079,8 @@ int main(int argc, char** argv) {
     return run_parity_ranking(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "parity_mf") == 0)
     return run_parity_mf(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_pmf") == 0)
+    return run_parity_pmf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)
     return run_bench_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)

