@@ -48,7 +48,19 @@ class ALSConfig:
 
 
 def _solve_side_math(Y, idx, ratings, mask, lam, scalar, weighted):
-    """Batched normal-equation solve for one ALS sweep side (one chunk)."""
+    """Batched normal-equation solve for one ALS sweep side (one chunk).
+
+    Weighted (WRMF) solves use an eigendecomposition with a NOISE-FLOOR
+    truncation instead of Cholesky: with confidence c = scalar·r (wrmf.hpp
+    default 40) the Gram's data eigenvalues dwarf λ by ~1e8, and in f32 the
+    rows with fewer than D observations have pure-rounding eigendirections
+    whose rhs junk gets amplified by 1/λ each sweep — the factors overflow
+    to NaN within one iteration (the f64 reference oracle survives on
+    precision alone). Truncating directions whose DATA eigenvalue is below
+    the row's f32 Gram noise floor reproduces the f64 oracle's metrics
+    (parity_zoo ALS/WRMF cells) while keeping data-supported components
+    exactly A⁻¹·rhs. Unweighted ALS (c = 1) stays on Cholesky — its
+    conditioning is bounded and the SPD solve is ~2x faster on TPU."""
     D = Y.shape[1]
     rows = Y[jnp.clip(idx, 0, Y.shape[0] - 1)]  # (B, L, D)
     m = mask.astype(Y.dtype)
@@ -57,9 +69,17 @@ def _solve_side_math(Y, idx, ratings, mask, lam, scalar, weighted):
     A = A + lam * jnp.eye(D, dtype=Y.dtype)[None]
     rhs_w = (scalar * ratings * m) if weighted else (ratings * m)
     rhs = jnp.einsum("bld,bl->bd", rows, rhs_w)
-    # A is SPD (Gram + λI): Cholesky is ~2x faster than LU on TPU
-    chol = jnp.linalg.cholesky(A)
-    return jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+    if not weighted:
+        # A is SPD (Gram + λI): Cholesky is ~2x faster than LU on TPU
+        chol = jnp.linalg.cholesky(A)
+        return jax.scipy.linalg.cho_solve((chol, True),
+                                          rhs[..., None])[..., 0]
+    w, V = jnp.linalg.eigh(A)  # ascending; w >= lam in exact arithmetic
+    proj = jnp.einsum("bde,bd->be", V, rhs)
+    noise = 16.0 * jnp.finfo(Y.dtype).eps * w[:, -1:]
+    keep = (w - lam) > noise
+    inv = jnp.where(keep, 1.0 / jnp.maximum(w, lam), 0.0)
+    return jnp.einsum("bde,be->bd", V, proj * inv)
 
 
 _solve_side = functools.partial(jax.jit, static_argnames=("weighted",))(

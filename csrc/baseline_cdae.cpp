@@ -906,6 +906,141 @@ bool read_triples(const char* path,
                   std::vector<std::vector<std::pair<int, float>>>& rated,
                   size_t& num_users, size_t& num_items);
 
+// Gauss-Jordan inverse with partial pivoting for the small d×d normal
+// matrices (the reference uses Eigen's .inverse(), als.hpp:86)
+static bool invert_inplace(std::vector<double>& A, size_t D) {
+  std::vector<double> M(D * 2 * D, 0.0);
+  for (size_t r = 0; r < D; ++r) {
+    for (size_t c = 0; c < D; ++c) M[r * 2 * D + c] = A[r * D + c];
+    M[r * 2 * D + D + r] = 1.0;
+  }
+  for (size_t col = 0; col < D; ++col) {
+    size_t piv = col;
+    for (size_t r = col + 1; r < D; ++r)
+      if (std::fabs(M[r * 2 * D + col]) > std::fabs(M[piv * 2 * D + col]))
+        piv = r;
+    if (std::fabs(M[piv * 2 * D + col]) < 1e-12) return false;
+    if (piv != col)
+      for (size_t c = 0; c < 2 * D; ++c)
+        std::swap(M[piv * 2 * D + c], M[col * 2 * D + c]);
+    double d = M[col * 2 * D + col];
+    for (size_t c = 0; c < 2 * D; ++c) M[col * 2 * D + c] /= d;
+    for (size_t r = 0; r < D; ++r) {
+      if (r == col) continue;
+      double f = M[r * 2 * D + col];
+      if (f == 0.0) continue;
+      for (size_t c = 0; c < 2 * D; ++c)
+        M[r * 2 * D + c] -= f * M[col * 2 * D + c];
+    }
+  }
+  for (size_t r = 0; r < D; ++r)
+    for (size_t c = 0; c < D; ++c) A[r * D + c] = M[r * 2 * D + D + c];
+  return true;
+}
+
+// parity_als <ALS|WRMF> train.txt test.txt [iters dim lambda scalar]
+// Reference alternating sweeps (als.hpp:66-121 / wrmf.hpp:66-121):
+//   A = lambda·I + Σ w·y yᵀ,  x = A⁻¹ Σ rhs·y   per observed row,
+// ALS: w = 1, rhs = rating (binary data: 1); WRMF: w = rhs = scalar·rating.
+// Factors init U(-0.001, 0.001) (DMatrix::Random()*0.001, als.hpp:47-48).
+int run_parity_als(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_als <ALS|WRMF> train.txt "
+                 "test.txt [iters dim lambda scalar]\n");
+    return 2;
+  }
+  std::string method = argv[2];
+  bool weighted = method == "WRMF";
+  size_t iters = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 20;
+  size_t D = argc > 6 ? std::strtoul(argv[6], nullptr, 10) : 10;
+  double lambda = argc > 7 ? std::strtod(argv[7], nullptr) : 0.01;
+  double scalar = argc > 8 ? std::strtod(argv[8], nullptr) : 40.0;
+
+  std::vector<std::vector<int>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_pairs(argv[3], train, U, I)) return 3;
+  if (!read_pairs(argv[4], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+  std::vector<std::vector<int>> by_item(I);
+  for (size_t u = 0; u < U; ++u)
+    for (int i : train[u]) by_item[(size_t)i].push_back((int)u);
+
+  std::vector<double> p(U * D), q(I * D);
+  std::uniform_real_distribution<double> init(-0.001, 0.001);
+  for (auto& e : p) e = init(g_rng);
+  for (auto& e : q) e = init(g_rng);
+
+  auto sweep = [&](std::vector<double>& X,
+                   const std::vector<double>& Y,
+                   const std::vector<std::vector<int>>& rows) {
+    std::vector<double> A(D * D), b(D);
+    for (size_t r = 0; r < rows.size(); ++r) {
+      if (rows[r].empty()) continue;  // ref skips unseen ids (als.hpp:110)
+      std::fill(A.begin(), A.end(), 0.0);
+      std::fill(b.begin(), b.end(), 0.0);
+      for (size_t k = 0; k < D; ++k) A[k * D + k] = lambda;
+      for (int o : rows[r]) {
+        const double* y = &Y[(size_t)o * D];
+        double w = weighted ? scalar : 1.0;    // rating = 1 (binary pairs)
+        double rhs = weighted ? scalar : 1.0;
+        for (size_t i2 = 0; i2 < D; ++i2) {
+          for (size_t j2 = 0; j2 < D; ++j2)
+            A[i2 * D + j2] += w * y[i2] * y[j2];
+          b[i2] += rhs * y[i2];
+        }
+      }
+      if (!invert_inplace(A, D)) continue;
+      double* x = &X[r * D];
+      for (size_t k = 0; k < D; ++k) {
+        double s = 0.0;
+        for (size_t j2 = 0; j2 < D; ++j2) s += A[k * D + j2] * b[j2];
+        x[k] = s;
+      }
+    }
+  };
+
+  for (size_t it = 0; it < iters; ++it) {
+    sweep(p, q, train);
+    sweep(q, p, by_item);
+  }
+
+  double recall_sum = 0, map_sum = 0;
+  size_t val_users = 0;
+  std::vector<std::pair<double, int>> cand;
+  for (size_t u = 0; u < U; ++u) {
+    if (test[u].empty()) continue;
+    ++val_users;
+    std::unordered_set<int> truth(test[u].begin(), test[u].end());
+    std::unordered_set<int> rated(train[u].begin(), train[u].end());
+    cand.clear();
+    for (size_t i = 0; i < I; ++i) {
+      if (rated.count((int)i)) continue;
+      double s = 0.0;
+      for (size_t k = 0; k < D; ++k) s += p[u * D + k] * q[i * D + k];
+      cand.push_back({s, (int)i});
+    }
+    size_t k = std::min<size_t>(10, cand.size());
+    std::partial_sort(cand.begin(), cand.begin() + (long)k, cand.end(),
+                      [](auto& a, auto& b2) { return a.first > b2.first; });
+    double hits = 0, ap = 0;
+    for (size_t r = 0; r < k; ++r)
+      if (truth.count(cand[r].second)) {
+        hits += 1;
+        ap += hits / (double)(r + 1);
+      }
+    recall_sum += hits / (double)truth.size();
+    map_sum += ap / std::min<double>(10.0, (double)truth.size());
+  }
+  std::printf(
+      "{\"recall_at_10\": %.5f, \"map_at_10\": %.5f, \"val_users\": %zu, "
+      "\"method\": \"%s\", \"iters\": %zu, \"dim\": %zu}\n",
+      recall_sum / (double)val_users, map_sum / (double)val_users, val_users,
+      method.c_str(), iters, D);
+  return 0;
+}
+
 // parity_pmf train.txt test.txt [iters dim lr]
 // PMF reference semantics (ref pmf.hpp:71-115): rating MF over OBSERVED
 // entries only — per-user sequential SQUARE-loss AdaGrad steps with the
@@ -1081,6 +1216,8 @@ int main(int argc, char** argv) {
     return run_parity_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "parity_pmf") == 0)
     return run_parity_pmf(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_als") == 0)
+    return run_parity_als(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)
     return run_bench_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)

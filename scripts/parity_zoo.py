@@ -31,7 +31,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--models", nargs="*",
-                    default=["MF", "PMF", "BPR", "WARP", "FISM", "NegMF"])
+                    default=["MF", "PMF", "BPR", "WARP", "ALS", "WRMF", "FISM",
+                             "NegMF"])
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu); parity is a "
                     "semantics check, CPU avoids the TPU tunnel")
@@ -140,10 +141,44 @@ def main() -> int:
                 "parity": bool(delta <= args.tolerance),
             }
 
+        def als_cell(method):
+            """ALS/WRMF (ref als.hpp:66-121 / wrmf.hpp:66-121): alternating
+            d×d normal-equation sweeps — deterministic given the data, so
+            the end-to-end cell complements the exact solution-check unit
+            test (test_models_zoo.py)."""
+            from cdae_tpu.models.als import ALS, ALSConfig, WRMF
+
+            lam, sc = 0.01, 40.0
+            out = subprocess.run(
+                [exe, "parity_als", method, tr_path, te_path,
+                 str(args.iters), str(args.dim), str(lam), str(sc)],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            cpp = json.loads(out)
+            print(f"# C++ {method}: {cpp}", file=sys.stderr)
+            cls = WRMF if method == "WRMF" else ALS
+            model = cls(ALSConfig(num_dim=args.dim, lambda_=lam, scalar=sc))
+            st = model.reset(train, seed=args.seed)
+            for _ in range(args.iters):
+                st = model.train_one_iteration(st, None)
+            ours = Evaluation.create("TOPN").evaluate(model, st, test, train)
+            print(f"# TPU {method}: R@10={ours['R@10']:.5f}", file=sys.stderr)
+            delta = ours["R@10"] - cpp["recall_at_10"]
+            return {
+                "cpp_recall_at_10": cpp["recall_at_10"],
+                "tpu_recall_at_10": round(ours["R@10"], 5),
+                "delta": round(delta, 5),
+                "parity": bool(delta >= -args.tolerance),
+            }
+
         for method in args.models:
             if method == "PMF":
                 results["PMF"] = pmf_cell()
                 ok = ok and results["PMF"]["parity"]
+                continue
+            if method in ("ALS", "WRMF"):
+                results[method] = als_cell(method)
+                ok = ok and results[method]["parity"]
                 continue
             out = subprocess.run(
                 [exe, "parity_mf", method, tr_path, te_path,
