@@ -906,6 +906,116 @@ bool read_triples(const char* path,
                   std::vector<std::vector<std::pair<int, float>>>& rated,
                   size_t& num_users, size_t& num_items);
 
+// parity_sim <ITEMCF|USERCF|POP> train.txt test.txt [sim_topk]
+// Reference deterministic recommenders: Jaccard top-k co-occurrence
+// neighbors (similarity_base.hpp:42-97) scored per itemcf.hpp:22-50 /
+// usercf.hpp:21-55, and the sorted-popularity walk (popularity.hpp:23-41).
+int run_parity_sim(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_sim <ITEMCF|USERCF|POP> "
+                 "train.txt test.txt [sim_topk]\n");
+    return 2;
+  }
+  std::string method = argv[2];
+  size_t sim_topk = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 50;
+
+  std::vector<std::vector<int>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_pairs(argv[3], train, U, I)) return 3;
+  if (!read_pairs(argv[4], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+  std::vector<std::vector<int>> by_item(I);
+  for (size_t u = 0; u < U; ++u)
+    for (int i : train[u]) by_item[(size_t)i].push_back((int)u);
+
+  // top-k Jaccard neighbors over the index side (items for ITEMCF, users
+  // for USERCF) — exactly similarity_base.hpp's hash-map accumulation
+  auto build_neighbors = [&](const std::vector<std::vector<int>>& idx_data,
+                             const std::vector<std::vector<int>>& data_idx) {
+    size_t N = idx_data.size();
+    std::vector<std::vector<std::pair<int, double>>> nb(N);
+    for (size_t a = 0; a < N; ++a) {
+      if (idx_data[a].empty()) continue;
+      std::unordered_map<int, double> cand;
+      for (int d : idx_data[a])
+        for (int b : data_idx[(size_t)d])
+          if ((size_t)b != a) cand[b] += 1.0;
+      std::vector<std::pair<int, double>> cv(cand.begin(), cand.end());
+      for (auto& p : cv)
+        p.second /= ((double)idx_data[(size_t)p.first].size() +
+                     (double)idx_data[a].size() - p.second);
+      size_t k = std::min(sim_topk, cv.size());
+      std::partial_sort(cv.begin(), cv.begin() + (long)k, cv.end(),
+                        [](auto& x, auto& y) { return x.second > y.second; });
+      nb[a].assign(cv.begin(), cv.begin() + (long)k);
+    }
+    return nb;
+  };
+
+  std::vector<std::pair<int, double>> pop;
+  std::vector<std::vector<std::pair<int, double>>> nb;
+  if (method == "POP") {
+    pop.resize(I);
+    for (size_t i = 0; i < I; ++i) pop[i] = {(int)i, 0.0};
+    for (size_t i = 0; i < I; ++i)
+      pop[i].second = (double)by_item[i].size();
+    std::sort(pop.begin(), pop.end(),
+              [](auto& a, auto& b) { return a.second > b.second; });
+  } else if (method == "ITEMCF") {
+    nb = build_neighbors(by_item, train);
+  } else {
+    nb = build_neighbors(train, by_item);
+  }
+
+  double recall_sum = 0, map_sum = 0;
+  size_t val_users = 0;
+  for (size_t u = 0; u < U; ++u) {
+    if (test[u].empty()) continue;
+    ++val_users;
+    std::unordered_set<int> truth(test[u].begin(), test[u].end());
+    std::unordered_set<int> rated(train[u].begin(), train[u].end());
+    std::vector<int> rec;
+    if (method == "POP") {
+      for (auto& p : pop) {
+        if (rec.size() == 10) break;
+        if (!rated.count(p.first)) rec.push_back(p.first);
+      }
+    } else {
+      std::unordered_map<int, double> scores;
+      if (method == "ITEMCF") {  // itemcf.hpp:22-50
+        for (int ri : train[u])
+          for (auto& p : nb[(size_t)ri])
+            if (!rated.count(p.first)) scores[p.first] += p.second;
+      } else {  // usercf.hpp:21-55
+        for (auto& up : nb[u])
+          for (int item : train[(size_t)up.first])
+            if (!rated.count(item)) scores[item] += up.second;
+      }
+      std::vector<std::pair<int, double>> rp(scores.begin(), scores.end());
+      size_t k = std::min<size_t>(10, rp.size());
+      std::partial_sort(rp.begin(), rp.begin() + (long)k, rp.end(),
+                        [](auto& a, auto& b) { return a.second > b.second; });
+      for (size_t r = 0; r < k; ++r) rec.push_back(rp[r].first);
+    }
+    double hits = 0, ap = 0;
+    for (size_t r = 0; r < rec.size(); ++r)
+      if (truth.count(rec[r])) {
+        hits += 1;
+        ap += hits / (double)(r + 1);
+      }
+    recall_sum += hits / (double)truth.size();
+    map_sum += ap / std::min<double>(10.0, (double)truth.size());
+  }
+  std::printf(
+      "{\"recall_at_10\": %.5f, \"map_at_10\": %.5f, \"val_users\": %zu, "
+      "\"method\": \"%s\", \"sim_topk\": %zu}\n",
+      recall_sum / (double)val_users, map_sum / (double)val_users, val_users,
+      method.c_str(), sim_topk);
+  return 0;
+}
+
 // Gauss-Jordan inverse with partial pivoting for the small d×d normal
 // matrices (the reference uses Eigen's .inverse(), als.hpp:86)
 static bool invert_inplace(std::vector<double>& A, size_t D) {
@@ -1218,6 +1328,8 @@ int main(int argc, char** argv) {
     return run_parity_pmf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "parity_als") == 0)
     return run_parity_als(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_sim") == 0)
+    return run_parity_sim(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)
     return run_bench_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)

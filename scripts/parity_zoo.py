@@ -32,7 +32,7 @@ def main() -> int:
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--models", nargs="*",
                     default=["MF", "PMF", "BPR", "WARP", "ALS", "WRMF", "FISM",
-                             "NegMF"])
+                             "NegMF", "ITEMCF", "USERCF", "POP"])
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu); parity is a "
                     "semantics check, CPU avoids the TPU tunnel")
@@ -171,6 +171,38 @@ def main() -> int:
                 "parity": bool(delta >= -args.tolerance),
             }
 
+        def sim_cell(method):
+            """Deterministic recommenders (ItemCF/UserCF Jaccard top-50
+            neighbors, Popularity): exact-semantics C++ walk vs the blocked
+            MXU co-occurrence build — only top-k TIE ordering can differ."""
+            from cdae_tpu.models.popularity import Popularity
+            from cdae_tpu.models.similarity import (
+                ItemCF, SimilarityConfig, UserCF,
+            )
+
+            out = subprocess.run(
+                [exe, "parity_sim", method, tr_path, te_path, "50"],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            cpp = json.loads(out)
+            print(f"# C++ {method}: {cpp}", file=sys.stderr)
+            if method == "POP":
+                model = Popularity()
+            else:
+                cls = ItemCF if method == "ITEMCF" else UserCF
+                model = cls(SimilarityConfig(sim_type="JACCARD", topk=50))
+            st = model.reset(train, seed=args.seed)
+            st = model.train_one_iteration(st, jax.random.PRNGKey(0))
+            ours = Evaluation.create("TOPN").evaluate(model, st, test, train)
+            print(f"# TPU {method}: R@10={ours['R@10']:.5f}", file=sys.stderr)
+            delta = ours["R@10"] - cpp["recall_at_10"]
+            return {
+                "cpp_recall_at_10": cpp["recall_at_10"],
+                "tpu_recall_at_10": round(ours["R@10"], 5),
+                "delta": round(delta, 5),
+                "parity": bool(delta >= -args.tolerance),
+            }
+
         for method in args.models:
             if method == "PMF":
                 results["PMF"] = pmf_cell()
@@ -178,6 +210,10 @@ def main() -> int:
                 continue
             if method in ("ALS", "WRMF"):
                 results[method] = als_cell(method)
+                ok = ok and results[method]["parity"]
+                continue
+            if method in ("ITEMCF", "USERCF", "POP"):
+                results[method] = sim_cell(method)
                 ok = ok and results[method]["parity"]
                 continue
             out = subprocess.run(
