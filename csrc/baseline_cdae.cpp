@@ -906,6 +906,104 @@ bool read_triples(const char* path,
                   std::vector<std::vector<std::pair<int, float>>>& rated,
                   size_t& num_users, size_t& num_items);
 
+bool read_triples(const char* path,
+                  std::vector<std::vector<std::pair<int, float>>>& rated,
+                  size_t& num_users, size_t& num_items);
+
+// parity_fm <LINEAR|FM> train.txt test.txt [iters dim lr lambda]
+// Reference LinearModel / FactorModel over rated (u, i, r) instances
+// (linear_model-inl.hpp:46-68, factor_model-inl.hpp:65-128): SQUARE loss,
+// global-mean offset, per-feature AdaGrad with ZERO-initialized
+// accumulators (accumulate-then-quotient), factor term cross-group only.
+// Judged on test RMSE — the classic bias / order-2 FM baselines.
+int run_parity_fm(int argc, char** argv) {
+  if (argc < 5) {
+    std::fprintf(stderr,
+                 "usage: baseline_cdae parity_fm <LINEAR|FM> train.txt "
+                 "test.txt [iters dim lr lambda]\n");
+    return 2;
+  }
+  bool factors = std::strcmp(argv[2], "FM") == 0;
+  size_t iters = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 20;
+  size_t D = argc > 6 ? std::strtoul(argv[6], nullptr, 10) : 5;
+  float lr = argc > 7 ? std::strtof(argv[7], nullptr) : 0.1f;
+  float lambda = argc > 8 ? std::strtof(argv[8], nullptr) : 0.01f;
+
+  std::vector<std::vector<std::pair<int, float>>> train, test;
+  size_t U = 0, I = 0;
+  if (!read_triples(argv[3], train, U, I)) return 3;
+  if (!read_triples(argv[4], test, U, I)) return 3;
+  train.resize(U);
+  test.resize(U);
+
+  double mean = 0;
+  size_t ntr = 0;
+  for (auto& row : train)
+    for (auto& pr : row) {
+      mean += pr.second;
+      ++ntr;
+    }
+  mean /= std::max<size_t>(ntr, 1);
+
+  size_t F = U + I;
+  std::vector<float> w(F), w_ag(F, 0.f), v, v_ag;
+  std::uniform_real_distribution<float> init(-0.01f, 0.01f);
+  for (auto& e : w) e = init(g_rng);
+  if (factors) {
+    v.resize(F * D);
+    v_ag.assign(F * D, 0.f);
+    for (auto& e : v) e = init(g_rng);
+  }
+
+  auto predict = [&](size_t u, size_t i) {
+    double s = mean + w[u] + w[U + i];
+    if (factors)
+      for (size_t k = 0; k < D; ++k) s += v[u * D + k] * v[(U + i) * D + k];
+    return s;
+  };
+
+  for (size_t it = 0; it < iters; ++it) {
+    for (size_t u = 0; u < U; ++u)
+      for (auto& pr : train[u]) {
+        size_t fu = u, fi = U + (size_t)pr.first;
+        float g = (float)(2.0 * (predict(u, (size_t)pr.first) -
+                                 (double)pr.second));
+        std::vector<float> gu(D), gi(D);
+        if (factors)
+          for (size_t k = 0; k < D; ++k) {
+            gu[k] = lambda * v[fu * D + k] + g * v[fi * D + k];
+            gi[k] = lambda * v[fi * D + k] + g * v[fu * D + k];
+          }
+        for (size_t f : {fu, fi}) {
+          float gw = lambda * w[f] + g;
+          w_ag[f] += gw * gw;
+          w[f] -= lr * gw / std::sqrt(w_ag[f]);
+        }
+        if (factors)
+          for (size_t k = 0; k < D; ++k) {
+            v_ag[fu * D + k] += gu[k] * gu[k];
+            v[fu * D + k] -= lr * gu[k] / std::sqrt(v_ag[fu * D + k]);
+            v_ag[fi * D + k] += gi[k] * gi[k];
+            v[fi * D + k] -= lr * gi[k] / std::sqrt(v_ag[fi * D + k]);
+          }
+      }
+  }
+
+  double se = 0;
+  size_t n = 0;
+  for (size_t u = 0; u < U; ++u)
+    for (auto& pr : test[u]) {
+      double d = predict(u, (size_t)pr.first) - (double)pr.second;
+      se += d * d;
+      ++n;
+    }
+  std::printf(
+      "{\"rmse\": %.5f, \"n_test\": %zu, \"method\": \"%s\", "
+      "\"iters\": %zu, \"dim\": %zu}\n",
+      std::sqrt(se / (double)n), n, factors ? "FM" : "LINEAR", iters, D);
+  return 0;
+}
+
 // parity_sim <ITEMCF|USERCF|POP> train.txt test.txt [sim_topk]
 // Reference deterministic recommenders: Jaccard top-k co-occurrence
 // neighbors (similarity_base.hpp:42-97) scored per itemcf.hpp:22-50 /
@@ -1330,6 +1428,8 @@ int main(int argc, char** argv) {
     return run_parity_als(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "parity_sim") == 0)
     return run_parity_sim(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "parity_fm") == 0)
+    return run_parity_fm(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)
     return run_bench_mf(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Metric-parity harness for the MF zoo: TPU-native IMF/BPR/WARP/FISM/NegMF
-vs the reference-semantics C++ implementations on an identical split
-(extends scripts/parity_cdae.py to the model zoo).
+"""Metric-parity harness for the FULL model zoo: TPU-native
+IMF/PMF/BPR/WARP/ALS/WRMF/FISM/NegMF/ItemCF/UserCF/Popularity/Linear/FM
+vs reference-semantics C++ oracles on an identical split (extends
+scripts/parity_cdae.py; recall@10 for rankers, RMSE for rating models).
 
 Run: python scripts/parity_zoo.py [--users 1200 --items 600 --iters 20]
      [--models MF BPR WARP FISM NegMF] [--platform cpu]
@@ -32,7 +33,7 @@ def main() -> int:
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--models", nargs="*",
                     default=["MF", "PMF", "BPR", "WARP", "ALS", "WRMF", "FISM",
-                             "NegMF", "ITEMCF", "USERCF", "POP"])
+                             "NegMF", "ITEMCF", "USERCF", "POP", "LINEAR", "FM"])
     ap.add_argument("--platform", default=None,
                     help="force jax platform (e.g. cpu); parity is a "
                     "semantics check, CPU avoids the TPU tunnel")
@@ -203,10 +204,67 @@ def main() -> int:
                 "parity": bool(delta >= -args.tolerance),
             }
 
+        def fm_cell(method):
+            """LinearModel / FactorModel (linear_model-inl.hpp:46-68,
+            factor_model-inl.hpp:65-128) on rated instances, judged on test
+            RMSE — the bias and order-2 FM baselines, closing the last
+            model-layer classes without oracle cells."""
+            from cdae_tpu.data.synthetic import lowrank_rated, write_triples
+            from cdae_tpu.models.linear import (
+                FactorModel, FactorModelConfig, LinearModel,
+                LinearModelConfig,
+            )
+
+            rdata = lowrank_rated(args.users, args.items, args.degree,
+                                  seed=args.seed)
+            rtrain, rtest = rdata.split_by_user(0.2, seed=args.seed)
+            trp = os.path.join(td, "train_rated.txt")
+            tep = os.path.join(td, "test_rated.txt")
+            write_triples(trp, rtrain)
+            write_triples(tep, rtest)
+            fm_dim = 5
+            out = subprocess.run(
+                [exe, "parity_fm", method, trp, tep, str(args.iters),
+                 str(fm_dim), str(args.lr), "0.01"],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            cpp = json.loads(out)
+            print(f"# C++ {method}: {cpp}", file=sys.stderr)
+            kw = dict(loss="SQUARE", lambda_=0.01, learn_rate=args.lr,
+                      batch_size=args.batch, using_global_mean=True,
+                      using_adagrad=True)
+            if method == "FM":
+                # order-2 interactions need near-sequential zero-init-AdaGrad
+                # granularity at equal epochs (bs16 +0.024 vs bs64 +0.040)
+                kw["batch_size"] = min(args.batch, 16)
+                model = FactorModel(FactorModelConfig(num_dim=fm_dim, **kw))
+            else:
+                model = LinearModel(LinearModelConfig(**kw))
+            st = model.reset(rtrain, seed=args.seed)
+            key = jax.random.PRNGKey(args.seed)
+            for _ in range(args.iters):
+                key, sub = jax.random.split(key)
+                st = model.train_one_iteration(st, sub)
+            ours = Evaluation.create("RMSE").evaluate(model, st, rtest,
+                                                      rtrain)
+            print(f"# TPU {method}: RMSE={ours['RMSE']:.5f}",
+                  file=sys.stderr)
+            delta = ours["RMSE"] - cpp["rmse"]  # lower is better
+            return {
+                "cpp_rmse": cpp["rmse"],
+                "tpu_rmse": round(ours["RMSE"], 5),
+                "delta": round(delta, 5),
+                "parity": bool(delta <= args.tolerance),
+            }
+
         for method in args.models:
             if method == "PMF":
                 results["PMF"] = pmf_cell()
                 ok = ok and results["PMF"]["parity"]
+                continue
+            if method in ("LINEAR", "FM"):
+                results[method] = fm_cell(method)
+                ok = ok and results[method]["parity"]
                 continue
             if method in ("ALS", "WRMF"):
                 results[method] = als_cell(method)
