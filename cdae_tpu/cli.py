@@ -127,6 +127,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="with --sharded: item-sharded TP for the sparse MF "
                         "family (ShardedMFTP) — item tables + AdaGrad state "
                         "split over 'model' for catalogs beyond one chip")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. 'cpu'): this container's "
+                        "sitecustomize pins jax_platforms, so the "
+                        "JAX_PLATFORMS env var alone is ignored — this flag "
+                        "applies jax.config.update before first device use")
     return p
 
 
@@ -238,6 +243,10 @@ def wrap_sharded(model, args):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     eval_types = [e.strip() for e in args.eval.split(",") if e.strip()]
     if args.rel_threshold != 4.0:
         from cdae_tpu.evaluation import Evaluation

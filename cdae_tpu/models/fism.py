@@ -65,6 +65,8 @@ class FISMConfig:
     dense_mode: Optional[bool] = None  # full-catalog (B, I) slab step: every
     # gather/scatter becomes an MXU matmul (see _fism_dense_step). None =
     # auto when the (U, I) rated mask + (B, I) slabs fit the HBM budget.
+    fast_rng: bool = False  # TPU hardware PRNG for negative draws (see
+    # MFConfig.fast_rng; opt-in until the parity harness run is recorded)
     dtype: Any = jnp.float32
 
 
@@ -317,7 +319,8 @@ def _fism_step(params, uids, items, mask, lengths, weight, lr, key, *, cfg,
     # negatives: num_neg per positive (ref fism.hpp:92-104)
     nn = max(cfg.num_neg, 0)
     Nn = max(nn * L, 1)
-    neg = sampling.sample_unrated(key, items, lengths, I, Nn)
+    neg = sampling.sample_unrated(key, items, lengths, I, Nn,
+                                  hw=cfg.fast_rng)
     neg_c = jnp.clip(neg, 0, I - 1)
     # sentinel id I = empty complement -> zero-weight those slots
     neg_mask = (
@@ -429,7 +432,12 @@ def _fism_dense_step(params, R, uids, weight, lr, key, *, cfg, loss):
     p_neg = jnp.clip(
         cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
     )
-    u01 = jax.random.uniform(key, rows.shape)
+    if cfg.fast_rng:
+        from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+        u01 = hw_uniform(sampling.key_seed(key), rows.shape)
+    else:
+        u01 = jax.random.uniform(key, rows.shape)
     neg_sel = (
         (1.0 - rows) * (u01 < p_neg[:, None]).astype(dt) * w_user[:, None]
     )
@@ -498,7 +506,8 @@ def _fism_pair_step(params, uids, items, mask, lengths, weight, lr, key, *,
 
     nn = max(cfg.num_neg, 1)
     Nn = nn * L
-    neg = sampling.sample_unrated(key, items, lengths, I, Nn)
+    neg = sampling.sample_unrated(key, items, lengths, I, Nn,
+                                  hw=cfg.fast_rng)
     neg_valid = (neg.reshape(B, nn, L) < I).astype(dt)
     neg_c = jnp.clip(neg.reshape(B, nn, L), 0, I - 1)  # (B, nn, L)
     Q_neg = params["Q"][neg_c]  # (B, nn, L, D)

@@ -70,10 +70,12 @@ class MFConfig:
     # slabs instead of scatter-adds (TPU scatters serialize); Bernoulli
     # complement negatives with E[count]=num_neg per positive. None = auto
     # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
-    fast_rng: Optional[bool] = None  # TPU hardware PRNG for dense negative
-    # masks (see CDAEConfig.fast_rng); None = off (CDAE's fast_rng carries a
-    # completed parity validation; the MF one is opt-in until its harness
-    # run is recorded)
+    fast_rng: Optional[bool] = None  # TPU hardware PRNG (see
+    # CDAEConfig.fast_rng) for the dense negative masks AND the sparse-path
+    # samplers (complement draws, WARP geometric/violator draws); None = off
+    # (CDAE's fast_rng carries a completed parity validation; the MF one is
+    # opt-in until its harness run — scripts/parity_fast_rng.py — is
+    # recorded)
     scatter_mode: str = "auto"  # auto|matmul|scatter — how per-instance
     # gradient rows are aggregated into the parameter tables. TPU scatters
     # serialize; "matmul" routes them through the MXU as one-hot matmuls
@@ -484,7 +486,8 @@ class IMF(_MFBase):
         I = params["iv"].shape[0]
         nn = max(cfg.num_neg, 0)
         if nn > 0:
-            neg = sampling.sample_unrated(key, rated, lengths, I, nn)  # (B,nn)
+            neg = sampling.sample_unrated(key, rated, lengths, I, nn,
+                                          hw=cfg.fast_rng)  # (B,nn)
             all_u = jnp.concatenate([u[:, None], jnp.tile(u[:, None], (1, nn))], 1)
             all_i = jnp.concatenate([i[:, None], neg], axis=1)
             labels = jnp.concatenate(
@@ -609,7 +612,8 @@ class BPR(_MFBase):
     def _step(params, u, i, r, w, rated, lengths, key, *, cfg, loss):
         I = params["iv"].shape[0]
         nn = max(cfg.num_neg, 1)
-        neg = sampling.sample_unrated(key, rated, lengths, I, nn)  # (B,nn)
+        neg = sampling.sample_unrated(key, rated, lengths, I, nn,
+                                      hw=cfg.fast_rng)  # (B,nn)
         # sentinel id I = empty complement -> zero-weight those pairs
         pair_w = w[:, None] * (neg < I).astype(w.dtype)
         grads = _pairwise_grads(
@@ -689,7 +693,14 @@ class WARP(_MFBase):
         k1, k2 = jax.random.split(key)
         # cnt ~ Geometric(p) truncated at T: first-success index of i.i.d.
         # complement draws (exactly the rejection loop's try counter)
-        u1 = jax.random.uniform(k1, (B, nn), minval=1e-7, maxval=1.0)
+        if cfg.fast_rng:
+            from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+            u1 = jnp.maximum(
+                hw_uniform(sampling.key_seed(k1), (B, nn)), 1e-7
+            )
+        else:
+            u1 = jax.random.uniform(k1, (B, nn), minval=1e-7, maxval=1.0)
         log1mp = jnp.log1p(-jnp.clip(p, 0.0, 1.0 - 1e-7))[:, None]
         cnt = 1 + jnp.floor(jnp.log(u1) / jnp.minimum(log1mp, -1e-12))
         cnt = cnt.astype(jnp.int32)
@@ -697,8 +708,13 @@ class WARP(_MFBase):
         cnt = jnp.clip(cnt, 1, T)
         # j uniform over violators: v-th violator via cumulative-count
         # rank-select (compare+reduce, no serialized search)
-        v = jax.random.randint(k2, (B, nn), 0,
-                               jnp.maximum(nviol, 1)[:, None])
+        if cfg.fast_rng:
+            v = sampling.hw_randint(
+                k2, (B, nn), jnp.maximum(nviol, 1)[:, None], salt=0x5D1F
+            )
+        else:
+            v = jax.random.randint(k2, (B, nn), 0,
+                                   jnp.maximum(nviol, 1)[:, None])
         cumviol = jnp.cumsum(viol.astype(jnp.int32), axis=1)  # (B, I)
         # index of the (v+1)-th violator = first idx with cumviol > v.
         # A batched bisection over the monotone cumviol rows costs
@@ -723,7 +739,8 @@ class WARP(_MFBase):
         nn = max(cfg.num_neg, 1)
         T = max(cfg.num_tries, 1)
         # candidates for all (instance, neg-slot) pairs: (B, nn*T)
-        cand_raw = sampling.sample_unrated(key, rated, lengths, I, nn * T)
+        cand_raw = sampling.sample_unrated(key, rated, lengths, I, nn * T,
+                                           hw=cfg.fast_rng)
         cand_raw = cand_raw.reshape(B, nn, T)
         cand_valid = cand_raw < I  # sentinel = empty complement
         cand = jnp.clip(cand_raw, 0, I - 1)

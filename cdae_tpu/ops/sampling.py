@@ -18,12 +18,44 @@ import jax
 import jax.numpy as jnp
 
 
+def key_seed(key: jax.Array) -> jnp.ndarray:
+    """Cheap int32 seed from PRNG key state (reads the key words, no
+    threefry rounds). Keys produced by jax.random.split along a training
+    scan have distinct word pairs, so the derived seeds differ per step."""
+    kd = jax.random.key_data(key).ravel()
+    return (kd[0] ^ kd[-1]).astype(jnp.int32)
+
+
+def hw_randint(
+    key: jax.Array,
+    shape,
+    maxval: jnp.ndarray,  # scalar or broadcastable to ``shape``; >= 1
+    salt: int = 0,
+) -> jnp.ndarray:
+    """Uniform int32 in [0, maxval) via the TPU hardware PRNG
+    (ops/pallas_kernels.hw_uniform) — ~free vs threefry, which costs real
+    step time in the fused training epochs (CLAUDE.md / BASELINE.md).
+    Float-scaling bias is < maxval·2⁻²⁴ per draw — negligible for catalog
+    sizes (< 16M). TPU-only (hw_uniform has no interpret-mode path);
+    ``salt`` decorrelates multiple draws from the same step key."""
+    from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+    seed = key_seed(key) ^ jnp.int32(salt)
+    u01 = hw_uniform(seed, tuple(shape))
+    mx = jnp.asarray(maxval, jnp.float32)
+    return jnp.minimum(
+        (u01 * mx).astype(jnp.int32), jnp.asarray(maxval, jnp.int32) - 1
+    )
+
+
 def sample_unrated(
     key: jax.Array,
     sorted_items: jnp.ndarray,  # (B, L) int32, ascending, padded with num_items
     lengths: jnp.ndarray,  # (B,) int32 — number of real (unpadded) entries
     num_items: int,
     num_samples: int,
+    *,
+    hw: bool = False,  # TPU hardware PRNG for the uniform draws (fast_rng)
 ) -> jnp.ndarray:
     """Uniform samples from each user's UNRATED items; (B, num_samples) int32.
 
@@ -34,9 +66,13 @@ def sample_unrated(
     """
     B, L = sorted_items.shape
     free = jnp.maximum(num_items - lengths, 1)  # complement size per user
-    u = jax.random.randint(
-        key, (B, num_samples), minval=0, maxval=free[:, None], dtype=jnp.int32
-    )  # uniform over [0, free) per row; free >= 1
+    if hw:
+        u = hw_randint(key, (B, num_samples), free[:, None])
+    else:
+        u = jax.random.randint(
+            key, (B, num_samples), minval=0, maxval=free[:, None],
+            dtype=jnp.int32,
+        )  # uniform over [0, free) per row; free >= 1
     # rank transform: R[j] - j is the count of unrated ids below R[j].
     # Padded slots must not perturb the (sorted) rank array: force them to
     # num_items, which exceeds every valid query u <= num_items - |R| - 1.

@@ -188,6 +188,19 @@ def sort_segment_add(idx: jnp.ndarray, vals: jnp.ndarray,
     return out[:, 0] if squeeze else out
 
 
+def resolve_auto_mode(P: int, num_rows: int, d: int, backend: str) -> str:
+    """Strategy for mode='auto': the one-hot matmul family while its FLOP
+    cost is in budget (factored on TPU — 2·P·N·D after the two-level
+    decomposition removes the dead-lane padding; flat XLA dot elsewhere),
+    else the sort/segment aggregation whose cost is independent of the
+    catalog size N (huge-catalog pairwise training: at N=1M, P=24k, D=11 the
+    factored dot alone is ~0.5 TFLOP per step)."""
+    flops = 2.0 * P * num_rows * d
+    if flops > _MATMUL_FLOP_LIMIT:
+        return "sort"
+    return "factored" if backend == "tpu" else "matmul"
+
+
 def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
                      *, mode: str = "auto") -> jnp.ndarray:
     """base.at[idx].add(vals), strategy-selected
@@ -198,17 +211,20 @@ def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
     generates flat one-hot tiles in VMEM (ops/pallas_kernels.scatter_matmul
     — no HBM traffic for the (P, N) one-hot); "matmul" is the XLA flat
     one-hot dot; "sort" argsort+cumsum segment aggregation (no P·N cost but
-    TPU sort-bound); "scatter" the native serialized op. "auto" picks
-    factored on TPU, else matmul while its FLOP cost is in budget, else
-    sort.
+    TPU sort-bound); "scatter" the native serialized op. "auto" picks by
+    FLOP budget (resolve_auto_mode): factored on TPU / matmul elsewhere
+    while in budget, sort beyond it.
     """
     if mode == "scatter":
         return base.at[idx].add(vals)
     num_rows = base.shape[0]
+    d = 1 if vals.ndim == 1 else vals.shape[-1]
+    if mode == "auto":
+        mode = resolve_auto_mode(idx.shape[0], num_rows, d,
+                                 jax.default_backend())
     if mode == "sort":
         return base + sort_segment_add(idx, vals, num_rows)
-    if mode == "factored" or (mode == "auto"
-                              and jax.default_backend() == "tpu"):
+    if mode == "factored":
         return base + factored_matmul_scatter_add(idx, vals, num_rows)
     if mode == "factored_bf16":
         return base + factored_matmul_scatter_add(
@@ -220,17 +236,13 @@ def scatter_add_rows(base: jnp.ndarray, idx: jnp.ndarray, vals: jnp.ndarray,
         # bf16 MXU operands, f32 accumulation: ~0.4% per-contribution
         # rounding; recall parity vs the C++ oracle recorded in BASELINE.md
         return base + scatter_matmul(idx, vals, num_rows)
-    if mode == "pallas" or (mode == "auto"
-                            and jax.default_backend() == "tpu"):
+    if mode == "pallas":
         from cdae_tpu.ops.pallas_kernels import scatter_matmul
 
         # exact f32 contributions (bf16 operands are opt-in via
         # mode='pallas_bf16')
         return base + scatter_matmul(idx, vals, num_rows,
                                      vals_dtype=vals.dtype)
-    d = 1 if vals.ndim == 1 else vals.shape[-1]
-    if mode == "matmul" or (
-        idx.shape[0] * num_rows * d * 2.0 <= _MATMUL_FLOP_LIMIT
-    ):
+    if mode == "matmul":
         return base + matmul_scatter_add(idx, vals, num_rows)
-    return base + sort_segment_add(idx, vals, num_rows)
+    raise ValueError(f"unknown scatter mode {mode!r}")

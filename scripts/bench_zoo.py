@@ -45,10 +45,18 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--scatter", default="auto")
     ap.add_argument("--seconds", type=float, default=12.0)
-    ap.add_argument("--dense", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="force the full-catalog dense-slab step")
+    ap.add_argument("--sparse", action="store_true",
+                    help="force the sparse path (disable auto-dense)")
+    ap.add_argument("--fast_rng", action="store_true",
+                    help="TPU hardware PRNG for sampling (MFConfig.fast_rng)")
     ap.add_argument("--no_bucket", action="store_true",
                     help="FISM: disable length-bucketed batches")
     args = ap.parse_args()
+    if args.dense and args.sparse:
+        raise SystemExit("--dense and --sparse are mutually exclusive")
+    dense_mode = True if args.dense else (False if args.sparse else None)
 
     import jax
     import jax.numpy as jnp
@@ -67,7 +75,8 @@ def main():
             cfg = mf_mod.MFConfig(
                 num_dim=args.dim, batch_size=args.batch,
                 scatter_mode=args.scatter,
-                dense_mode=True if args.dense else None,
+                dense_mode=dense_mode,
+                fast_rng=True if args.fast_rng else None,
             )
             if name == "BPR":
                 cfg = cfg.__class__(**{**cfg.__dict__, "loss": "LOG"})
@@ -78,12 +87,14 @@ def main():
         elif name == "FISM":
             model = fism_mod.FISM(fism_mod.FISMConfig(
                 num_dim=args.dim, batch_size=args.batch,
-                scatter_mode=args.scatter,
+                scatter_mode=args.scatter, dense_mode=dense_mode,
+                fast_rng=args.fast_rng,
                 bucket_by_length=not args.no_bucket))
         elif name == "NegMF":
             from cdae_tpu.models.linear import FactorModelConfig, NegMF
             model = NegMF(FactorModelConfig(
                 num_dim=args.dim, batch_size=args.batch, loss="LOG",
+                dense_mode=dense_mode,
                 using_global_mean=False))
         else:
             raise SystemExit(f"unknown model {name}")
@@ -113,6 +124,10 @@ def main():
             "model": name, "users_per_sec": round(args.users * epochs / dt, 1),
             "epochs": epochs, "elapsed_s": round(dt, 2), "dim": args.dim,
             "batch": args.batch, "scatter": args.scatter,
+            "path": ("dense" if (
+                "dense_R" in state.aux or "rated_mask" in state.aux
+            ) else "sparse"),
+            "fast_rng": bool(args.fast_rng),
         }))
 
 

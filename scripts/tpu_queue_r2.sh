@@ -23,8 +23,13 @@ run bpr4096  900 python scripts/bench_zoo.py BPR  --batch 4096 --scatter factore
 run bpr8192  900 python scripts/bench_zoo.py BPR  --batch 8192 --scatter factored
 run warp4096 900 python scripts/bench_zoo.py WARP --batch 4096 --scatter factored
 run warp8192 900 python scripts/bench_zoo.py WARP --batch 8192 --scatter factored
+run warp16384 900 python scripts/bench_zoo.py WARP --batch 16384 --scatter factored
 
-# 3. fast_rng parity (TPU-only harness; VERDICT r1 item 10)
+# 2b. hardware-PRNG sampling A/B (sparse pairwise fast_rng lever)
+run bpr8192_hw  900 python scripts/bench_zoo.py BPR  --batch 8192 --scatter factored --fast_rng
+run warp8192_hw 900 python scripts/bench_zoo.py WARP --batch 8192 --scatter factored --fast_rng
+
+# 3. fast_rng parity (TPU-only harness; covers dense-IMF + sparse-BPR)
 run fastrng 1800 python scripts/parity_fast_rng.py --epochs 20 --seeds 3
 
 # 4. MFU at a width the MXU can use + bf16 compute
@@ -33,6 +38,13 @@ run bench_d200_bf16 600 env BENCH_DIM=200 BENCH_BF16=1 python bench.py
 
 # 5. dense-slab FISM/NegMF TPU throughput (ROADMAP pending)
 run fism_dense  900 python scripts/bench_zoo.py FISM  --dense --batch 256
+run fism_dense512 900 python scripts/bench_zoo.py FISM --dense --batch 512
 run negmf_dense 900 python scripts/bench_zoo.py NegMF --dense --batch 4096
+
+# 6. FISM sparse regression matrix (ROADMAP: recover the 4.2k config)
+run fism_sp_pallas   900 python scripts/bench_zoo.py FISM --sparse --batch 256 --scatter pallas
+run fism_sp_nobucket 900 python scripts/bench_zoo.py FISM --sparse --batch 256 --scatter pallas --no_bucket
+run fism_sp_scatter  900 python scripts/bench_zoo.py FISM --sparse --batch 256 --scatter scatter
+run fism_sp_b128     900 python scripts/bench_zoo.py FISM --sparse --batch 128 --scatter pallas
 
 echo "=== queue done ==="

@@ -440,3 +440,53 @@ def test_factored_scatter_add_matches_numpy():
         vals_dtype=jnp.bfloat16,
     )
     np.testing.assert_allclose(np.asarray(out_bf), ref, rtol=0.05, atol=0.05)
+
+
+def test_resolve_auto_mode_flop_guard():
+    """'auto' stays on the one-hot matmul family while 2·P·N·D is in
+    budget, and falls back to the catalog-size-independent sort/segment
+    aggregation beyond it (huge-catalog pairwise: N=1M at P=24k, D=11
+    must NOT pick the factored dot — ~0.5 TFLOP per step)."""
+    from cdae_tpu.ops.scatter import _MATMUL_FLOP_LIMIT, resolve_auto_mode
+
+    # bench shapes (ML-1M: P=24k rows into N=3706) stay on the matmul family
+    assert resolve_auto_mode(24_576, 3_706, 11, "tpu") == "factored"
+    assert resolve_auto_mode(24_576, 3_706, 11, "cpu") == "matmul"
+    # huge catalogs cross the FLOP budget -> sort on every backend
+    assert resolve_auto_mode(24_576, 1_000_000, 11, "tpu") == "sort"
+    assert resolve_auto_mode(24_576, 1_000_000, 11, "cpu") == "sort"
+    # boundary: exactly at the limit stays matmul-family
+    P = int(_MATMUL_FLOP_LIMIT // (2.0 * 1000 * 10))
+    assert resolve_auto_mode(P, 1000, 10, "tpu") == "factored"
+    assert resolve_auto_mode(P + 1, 1000, 10, "tpu") == "sort"
+
+
+def test_scatter_add_rows_rejects_unknown_mode():
+    import jax.numpy as jnp
+    import pytest
+
+    from cdae_tpu.ops.scatter import scatter_add_rows
+
+    with pytest.raises(ValueError):
+        scatter_add_rows(jnp.zeros((4, 2)), jnp.zeros((3,), jnp.int32),
+                         jnp.ones((3, 2)), mode="bogus")
+
+
+def test_key_seed_distinct_across_splits():
+    """ops/sampling.key_seed derives a usable int32 seed from key words
+    (no threefry rounds) and differs across split keys — the property the
+    fused epochs rely on for per-step hardware-PRNG seeding."""
+    import jax
+    import jax.numpy as jnp
+
+    from cdae_tpu.ops.sampling import key_seed
+
+    key = jax.random.PRNGKey(42)
+    seeds = []
+    for _ in range(16):
+        key, sub = jax.random.split(key)
+        seeds.append(int(key_seed(sub)))
+    assert len(set(seeds)) == len(seeds)
+    assert jnp.asarray(seeds).dtype in (jnp.int32, jnp.int64)
+    # traceable under jit (the fused epoch calls it inside a scan body)
+    assert int(jax.jit(key_seed)(key)) == int(key_seed(key))
