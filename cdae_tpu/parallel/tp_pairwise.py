@@ -220,7 +220,8 @@ class ShardedMFTP(RecsysModel):
             def pair_chunk(uv, iv, ib, u, i, w, pu, pl, sub):
                 """BPR: (B,) positives × nn sampled negatives; ib rides the
                 item aggregation, ub cancels in the pair score."""
-                neg = sampling.sample_unrated(sub, pu, pl, I, nn)
+                neg = sampling.sample_unrated(sub, pu, pl, I, nn,
+                                              hw=cfg.fast_rng)
                 pair_w = w[:, None] * (neg < I).astype(w.dtype)
                 j = jnp.clip(neg, 0, I - 1)
                 u_l, i_l = sl(u), sl(i)
@@ -244,7 +245,8 @@ class ShardedMFTP(RecsysModel):
                 from cdae_tpu.models.mf import _pair_contribs, _warp_harmonic
 
                 T = max(cfg.num_tries, 1)
-                cand_raw = sampling.sample_unrated(sub, pu, pl, I, nn * T)
+                cand_raw = sampling.sample_unrated(sub, pu, pl, I, nn * T,
+                                                   hw=cfg.fast_rng)
                 u_l, i_l, w_l = sl(u), sl(i), sl(w)
                 cand_l = sl(cand_raw).reshape(bsl, nn, T)
                 valid = cand_l < I
@@ -279,7 +281,8 @@ class ShardedMFTP(RecsysModel):
                 Bernoulli-complement negatives per positive (same layout
                 as the single-chip IMF._step flatten)."""
                 if sample_negs and nn > 0:
-                    neg = sampling.sample_unrated(sub, pu, pl, I, nn)
+                    neg = sampling.sample_unrated(sub, pu, pl, I, nn,
+                                                  hw=cfg.fast_rng)
                     all_u = jnp.concatenate(
                         [u[:, None], jnp.tile(u[:, None], (1, nn))], 1)
                     all_i = jnp.concatenate([i[:, None], neg], axis=1)

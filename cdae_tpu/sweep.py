@@ -39,10 +39,13 @@ def run_sweep(
     batch_size: int = 64,
     seed: int = PAPER_SEED,
     limit: int = 0,
+    offset: int = 0,
     out: Optional[TextIO] = None,
 ) -> list:
     """Train + TOPN-evaluate every grid point; returns the result dicts
-    (and streams one JSON line per config to ``out``, default stdout)."""
+    (and streams one JSON line per config to ``out``, default stdout).
+    ``offset``/``limit`` select a contiguous slice of the grid so the 192
+    points can shard across parallel worker processes."""
     import jax
 
     from cdae_tpu.evaluation import Evaluation
@@ -52,7 +55,9 @@ def run_sweep(
     ev = Evaluation.create("TOPN")
     results = []
     for n, g in enumerate(paper_grid()):
-        if limit and n >= limit:
+        if n < offset:
+            continue
+        if limit and n >= offset + limit:
             break
         cfg = CDAEConfig(
             learn_rate=0.1, num_dim=50, num_corruptions=1,
@@ -66,8 +71,9 @@ def run_sweep(
         state = model.reset(train, seed=seed)
         state = model.train_epochs(state, iters, jax.random.PRNGKey(seed))
         res = ev.evaluate(model, state, test, train)
-        rec = dict(g, **{"R@10": round(res["R@10"], 5),
-                         "MAP@10": round(res["MAP@10"], 5)})
+        rec = dict(g, grid_index=n,
+                   **{"R@10": round(res["R@10"], 5),
+                      "MAP@10": round(res["MAP@10"], 5)})
         print(json.dumps(rec), file=out, flush=True)
         results.append(rec)
     return results

@@ -30,8 +30,17 @@ def main() -> int:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--seed", type=int, default=20141119)
     ap.add_argument("--limit", type=int, default=0,
-                    help="run only the first N grid points (0 = all)")
+                    help="run only N grid points from --offset (0 = all)")
+    ap.add_argument("--offset", type=int, default=0,
+                    help="skip the first N grid points (parallel sharding)")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. 'cpu'); the container "
+                         "pins jax_platforms so the env var alone is ignored")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from cdae_tpu.data import io as data_io
     from cdae_tpu.sweep import run_sweep
@@ -47,7 +56,7 @@ def main() -> int:
     print(f"# {data} -> train {len(train)} / test {len(test)}",
           file=sys.stderr)
     run_sweep(train, test, iters=args.iters, batch_size=args.batch_size,
-              seed=args.seed, limit=args.limit)
+              seed=args.seed, limit=args.limit, offset=args.offset)
     return 0
 
 

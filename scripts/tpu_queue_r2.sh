@@ -41,6 +41,11 @@ run fism_dense  900 python scripts/bench_zoo.py FISM  --dense --batch 256
 run fism_dense512 900 python scripts/bench_zoo.py FISM --dense --batch 512
 run negmf_dense 900 python scripts/bench_zoo.py NegMF --dense --batch 4096
 
+# 6b. huge-catalog pairwise: beyond the one-hot FLOP budget the 'auto'
+# aggregation switches to the catalog-size-independent sort/segment path
+run bpr_200kx50k 1200 python scripts/bench_zoo.py BPR --users 200000 --items 50000 --deg 50 --batch 8192 --seconds 30
+run bpr_1m_items 1800 python scripts/bench_zoo.py BPR --users 100000 --items 1000000 --deg 50 --batch 8192 --seconds 60
+
 # 6. FISM sparse regression matrix (ROADMAP: recover the 4.2k config)
 run fism_sp_pallas   900 python scripts/bench_zoo.py FISM --sparse --batch 256 --scatter pallas
 run fism_sp_nobucket 900 python scripts/bench_zoo.py FISM --sparse --batch 256 --scatter pallas --no_bucket
