@@ -76,6 +76,11 @@ class MFConfig:
     # (CDAE's fast_rng carries a completed parity validation; the MF one is
     # opt-in until its harness run — scripts/parity_fast_rng.py — is
     # recorded)
+    use_pallas: Optional[bool] = None  # WARP only: fused violator
+    # count+select kernel (ops/pallas_kernels.warp_violator_select) instead
+    # of the XLA (B, I) scores/cumsum/bisection chain. Distribution-
+    # identical (uniform over violators); trajectories differ by RNG
+    # stream. None = auto (on when running on TPU).
     scatter_mode: str = "auto"  # auto|matmul|scatter — how per-instance
     # gradient rows are aggregated into the parameter tables. TPU scatters
     # serialize; "matmul" routes them through the MXU as one-hot matmuls
@@ -683,14 +688,29 @@ class WARP(_MFBase):
         nn = max(cfg.num_neg, 1)
         T = max(cfg.num_tries, 1)
         uv_u = params["uv"][u]  # (B, D)
-        scores = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
-        yui = jnp.take_along_axis(scores, i[:, None], axis=1)[:, 0]
-        unrated = mask_rows == 0  # (B, I) int8 view
-        viol = (scores > (yui[:, None] - 1.0)) & unrated
-        nviol = jnp.sum(viol.astype(jnp.int32), axis=1)  # (B,)
+        use_kernel = cfg.use_pallas
+        if use_kernel is None:
+            use_kernel = jax.default_backend() == "tpu"
+        k1, k2 = jax.random.split(key)
+        if use_kernel:
+            # fused Pallas kernel: violator count + nn uniform selections
+            # with no (B, I) HBM materialization (scores/viol/cumsum all
+            # stay in VMEM tiles) — distribution-identical to the XLA path
+            yui = params["ib"][i] + jnp.sum(uv_u * params["iv"][i], -1)
+            from cdae_tpu.ops.pallas_kernels import warp_violator_select
+
+            nviol, j = warp_violator_select(
+                sampling.key_seed(k2), uv_u, params["iv"], params["ib"],
+                yui - 1.0, mask_rows, nn,
+            )
+        else:
+            scores = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
+            yui = jnp.take_along_axis(scores, i[:, None], axis=1)[:, 0]
+            unrated = mask_rows == 0  # (B, I) int8 view
+            viol = (scores > (yui[:, None] - 1.0)) & unrated
+            nviol = jnp.sum(viol.astype(jnp.int32), axis=1)  # (B,)
         free = jnp.maximum(I - lengths, 1)
         p = nviol.astype(jnp.float32) / free.astype(jnp.float32)
-        k1, k2 = jax.random.split(key)
         # cnt ~ Geometric(p) truncated at T: first-success index of i.i.d.
         # complement draws (exactly the rejection loop's try counter)
         if cfg.fast_rng:
@@ -706,22 +726,23 @@ class WARP(_MFBase):
         cnt = cnt.astype(jnp.int32)
         found = (nviol[:, None] > 0) & (cnt <= T)
         cnt = jnp.clip(cnt, 1, T)
-        # j uniform over violators: v-th violator via cumulative-count
-        # rank-select (compare+reduce, no serialized search)
-        if cfg.fast_rng:
-            v = sampling.hw_randint(
-                k2, (B, nn), jnp.maximum(nviol, 1)[:, None], salt=0x5D1F
-            )
-        else:
-            v = jax.random.randint(k2, (B, nn), 0,
-                                   jnp.maximum(nviol, 1)[:, None])
-        cumviol = jnp.cumsum(viol.astype(jnp.int32), axis=1)  # (B, I)
-        # index of the (v+1)-th violator = first idx with cumviol > v.
-        # A batched bisection over the monotone cumviol rows costs
-        # ceil(log2 I)+1 (B, nn) gathers — the one-shot compare+reduce
-        # alternative materializes (B, I, nn), 76M elements at bench shapes
-        j = _rank_select_first_gt(cumviol, v)
-        j = jnp.clip(j, 0, I - 1)
+        if not use_kernel:
+            # j uniform over violators: v-th violator via cumulative-count
+            # rank-select (compare+reduce, no serialized search)
+            if cfg.fast_rng:
+                v = sampling.hw_randint(
+                    k2, (B, nn), jnp.maximum(nviol, 1)[:, None], salt=0x5D1F
+                )
+            else:
+                v = jax.random.randint(k2, (B, nn), 0,
+                                       jnp.maximum(nviol, 1)[:, None])
+            cumviol = jnp.cumsum(viol.astype(jnp.int32), axis=1)  # (B, I)
+            # index of the (v+1)-th violator = first idx with cumviol > v.
+            # A batched bisection over the monotone cumviol rows costs
+            # ceil(log2 I)+1 (B, nn) gathers — the one-shot compare+reduce
+            # alternative materializes (B, I, nn), 76M elems at bench shapes
+            j = _rank_select_first_gt(cumviol, v)
+            j = jnp.clip(j, 0, I - 1)
         items_left = jnp.maximum(I - lengths, 1)
         l_tab = _warp_harmonic(I)
         rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]

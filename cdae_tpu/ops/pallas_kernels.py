@@ -370,6 +370,150 @@ def streaming_topk_scores(
     return ids, vals
 
 
+# ------------------------------------- fused WARP violator count + select ---
+
+def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
+                        nviol_ref, j_ref, bval_ref, bidx_ref,
+                        *, nn: int, block_i: int):
+    """One (B_blk, block_i) tile of the WARP violator pipeline.
+
+    Computes the score tile on the MXU, the violation mask in VMEM, and
+    merges per-tile results into the running per-row (count, nn argmax
+    selections) — the (B, I) score/violation/cumsum arrays of the XLA
+    formulation never reach HBM. Selection is uniform over violators via
+    the argmax-of-iid-noise identity: each (row, col, slot) gets a
+    deterministic 32-bit mix of (seed, row, col, slot) and slot k keeps
+    the violator with the largest value (distribution-identical to the
+    reference's uniform draw among violators, ref warp.hpp:63-88)."""
+    ij = pl.program_id(1)
+    bi = pl.program_id(0)
+    B_blk = uv_ref.shape[0]
+    INT_MIN = jnp.int32(-2147483648)
+    C1 = jnp.int32(-1640531527)   # 0x9E3779B1
+    C2 = jnp.int32(-2048144777)   # 0x85EBCA77 (wrapped)
+    M1 = jnp.int32(-2048144789)   # 0x85EBCA6B
+    M2 = jnp.int32(-1028477387)   # 0xC2B2AE35
+    K1 = jnp.int32(-1028477379)   # 0xC2B2AE3D
+
+    @pl.when(ij == 0)
+    def _():
+        nviol_ref[:] = jnp.zeros_like(nviol_ref)
+        bval_ref[:] = jnp.full_like(bval_ref, INT_MIN)
+        bidx_ref[:] = jnp.zeros_like(bidx_ref)
+
+    scores = jax.lax.dot_general(
+        uv_ref[:], iv_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ib_ref[:]
+    # int8 compare is unsupported on some Mosaic targets — widen first
+    viol = (scores > thr_ref[:]) & (mask_ref[:].astype(jnp.float32) == 0.0)
+    nviol_ref[:] += jnp.sum(viol.astype(jnp.int32), axis=1, keepdims=True)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 1) + (
+        ij * block_i
+    )
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 0) + (
+        bi * B_blk
+    )
+    cols_k = jax.lax.broadcasted_iota(jnp.int32, bval_ref.shape, 1)
+    sr = jax.lax.shift_right_logical
+    for k in range(nn):  # static, small
+        x = seed_ref[0] + cols * C1 + rows * C2 + jnp.int32(k) * K1
+        x = x ^ sr(x, 16)
+        x = x * M1
+        x = x ^ sr(x, 13)
+        x = x * M2
+        x = x ^ sr(x, 16)
+        masked = jnp.where(viol, x, INT_MIN)
+        m = jnp.max(masked, axis=1)  # (B_blk,)
+        arg = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        idx_glob = ij * block_i + arg
+        slot = cols_k == k
+        take = slot & (m[:, None] > bval_ref[:])
+        bval_ref[:] = jnp.where(take, m[:, None], bval_ref[:])
+        bidx_ref[:] = jnp.where(take, idx_glob[:, None], bidx_ref[:])
+
+    @pl.when(ij == pl.num_programs(1) - 1)
+    def _():
+        j_ref[:] = bidx_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("nn", "block_b", "block_i"))
+def warp_violator_select(
+    seed: jnp.ndarray,  # () or (1,) int32
+    uv_u: jnp.ndarray,  # (B, D) user rows
+    iv: jnp.ndarray,  # (I, D) item table
+    ib: jnp.ndarray,  # (I,) item bias
+    thr: jnp.ndarray,  # (B,) violation threshold (yui - margin)
+    mask_rows: jnp.ndarray,  # (B, I) int8, nonzero = rated
+    nn: int,
+    block_b: int = 256,
+    block_i: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused WARP violator count + nn uniform violator selections.
+
+    Returns (nviol (B,) int32, j (B, nn) int32). Replaces the XLA dense
+    path's materialized (B, I) scores + violation mask + int32 cumsum +
+    bisection rank-select (models/mf.py WARP._dense_path) with one kernel
+    whose only HBM traffic is the inputs (~B·I bytes of int8 mask). Rows
+    with nviol == 0 return j = 0 — callers zero-weight them via the
+    `found` gate exactly as the XLA path does."""
+    B, D = uv_u.shape
+    I = iv.shape[0]
+    Bp = _round_up(B, block_b)
+    Ipad = _round_up(I, block_i)
+    Dp = _round_up(D, 128)
+    uvp = jnp.pad(uv_u.astype(jnp.float32), ((0, Bp - B), (0, Dp - D)))
+    ivp = jnp.pad(iv.astype(jnp.float32), ((0, Ipad - I), (0, Dp - D)))
+    ibp = jnp.pad(ib.astype(jnp.float32), (0, Ipad - I)).reshape(1, Ipad)
+    # padded rows: +inf threshold -> no violators; padded cols: mask 1
+    thrp = jnp.pad(thr.astype(jnp.float32), (0, Bp - B),
+                   constant_values=3.0e38).reshape(Bp, 1)
+    maskp = jnp.pad(mask_rows.astype(jnp.int8), ((0, Bp - B), (0, Ipad - I)),
+                    constant_values=jnp.int8(1))
+    kernel = functools.partial(_warp_select_kernel, nn=nn, block_i=block_i)
+    grid = (Bp // block_b, Ipad // block_i)
+    nviol, j = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_b, 1), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Dp), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_i, Dp), lambda b, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_i), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, block_i), lambda b, j: (b, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, 1), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda b, j: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.int32),
+            pltpu.VMEM((block_b, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Ipad * Dp + 20 * nn * Bp * Ipad,
+            bytes_accessed=Bp * Ipad + (Bp + Ipad) * Dp * 4,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), thrp, uvp, ivp, ibp, maskp)
+    return nviol[:B, 0], jnp.clip(j[:B, :nn], 0, I - 1)
+
+
 # ------------------------------------------- scatter as one-hot MXU tiles ---
 
 def _scatter_mm_kernel(idx_ref, vals_ref, out_ref, *, block_n: int):
