@@ -564,10 +564,16 @@ class ShardedPairwise(RecsysModel):
                             f"(BPR/WARP/IMF/PMF), got {type(inner)}")
         # pallas kernels are single-device programs; GSPMD needs plain XLA,
         # and the factored one-hot contraction partitions cleanly over P.
-        if inner.cfg.scatter_mode in ("auto", "pallas", "pallas_bf16"):
-            inner = type(inner)(
-                dataclasses.replace(inner.cfg, scatter_mode="factored")
-            )
+        cfg = inner.cfg
+        if cfg.scatter_mode in ("auto", "pallas", "pallas_bf16"):
+            cfg = dataclasses.replace(cfg, scatter_mode="factored")
+        if cfg.use_pallas is not False:
+            # WARP's fused violator kernel (auto-on on TPU) is likewise a
+            # single-device program — keep the sharded epoch on the XLA
+            # scores/cumsum path so GSPMD can partition it over 'data'.
+            cfg = dataclasses.replace(cfg, use_pallas=False)
+        if cfg is not inner.cfg:
+            inner = type(inner)(cfg)
         self.inner = inner
         self.cfg = inner.cfg
         self.loss = inner.loss
