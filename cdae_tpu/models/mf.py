@@ -72,10 +72,11 @@ class MFConfig:
     # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
     fast_rng: Optional[bool] = None  # TPU hardware PRNG (see
     # CDAEConfig.fast_rng) for the dense negative masks AND the sparse-path
-    # samplers (complement draws, WARP geometric/violator draws); None = off
-    # (CDAE's fast_rng carries a completed parity validation; the MF one is
-    # opt-in until its harness run — scripts/parity_fast_rng.py — is
-    # recorded)
+    # samplers (complement draws, WARP geometric/violator draws); None = off.
+    # Parity-validated on TPU 2026-08-18 (scripts/parity_fast_rng.py, 3
+    # seeds x 20 epochs: IMF dense delta -0.003, BPR sparse +0.0003 — both
+    # within the 0.03 gate; BASELINE.md). Kept opt-in because the measured
+    # end-to-end win on the pairwise path is small (+1.6% at bs8192).
     use_pallas: Optional[bool] = None  # WARP only: fused violator
     # count+select kernel (ops/pallas_kernels.warp_violator_select) instead
     # of the XLA (B, I) scores/cumsum/bisection chain. Distribution-
