@@ -77,6 +77,12 @@ class MFConfig:
     # seeds x 20 epochs: IMF dense delta -0.003, BPR sparse +0.0003 — both
     # within the 0.03 gate; BASELINE.md). Kept opt-in because the measured
     # end-to-end win on the pairwise path is small (+1.6% at bs8192).
+    epoch_chunk: Optional[int] = None  # max scan steps per device dispatch.
+    # None = the whole epoch is ONE fused program (fastest; default). At
+    # huge-catalog shapes a single multi-hundred-step program exceeds the
+    # TPU worker's program-length tolerance (>60s crashes it — measured at
+    # 100k users x 1M items); set a chunk (e.g. 64) to bound each dispatch,
+    # with a forced readback between chunks so dispatches can't pile up.
     use_pallas: Optional[bool] = None  # WARP only: fused violator
     # count+select kernel (ops/pallas_kernels.warp_violator_select) instead
     # of the XLA (B, I) scores/cumsum/bisection chain. Distribution-
@@ -183,6 +189,8 @@ class _MFBase(RecsysModel):
             functools.partial(_mf_data_loss, loss=self.loss)
         )
         self._jit_epoch = None  # built lazily (needs static num_batches)
+        self._jit_epoch_ext = None  # chunked-epoch variant (epoch_chunk)
+        self._epoch_ext_chunk = -1
 
     def reset(self, data: Interactions, seed: int = 0) -> ModelState:
         U, I = data.num_users, data.num_items
@@ -330,16 +338,63 @@ class _MFBase(RecsysModel):
             return state
         n = len(state.aux["coo"][0])
         num_batches = max(-(-n // self.cfg.batch_size), 1)
+        chunk = self.cfg.epoch_chunk
+        users, items, ratings, pad_items, pad_lengths = self._device_data(state)
+        if chunk and chunk < num_batches:
+            state.params = self._chunked_epoch(
+                state, num_batches, chunk, users, items, ratings,
+                pad_items, pad_lengths, rng_key,
+            )
+            state.step += 1
+            return state
         if self._jit_epoch is None or self._epoch_batches != num_batches:
             self._jit_epoch = self._build_epoch(num_batches)
             self._epoch_batches = num_batches
-        users, items, ratings, pad_items, pad_lengths = self._device_data(state)
         state.params = self._jit_epoch(
             state.params, users, items, ratings, pad_items, pad_lengths,
             rng_key, *self._epoch_extras(state),
         )
         state.step += 1
         return state
+
+    def _chunked_epoch(self, state, num_batches, chunk, users, items,
+                       ratings, pad_items, pad_lengths, rng_key):
+        """Epoch as ceil(num_batches/chunk) bounded device programs.
+
+        Same semantics as the fused epoch (one on-device shuffle, scan over
+        fixed-size minibatches) but the scan is sliced into `chunk`-step
+        dispatches with a forced readback between them — no single device
+        program grows with the dataset (a >60s program crashes the TPU
+        worker; a readback-free dispatch QUEUE counts as one program)."""
+        bs = self.cfg.batch_size
+        n = users.shape[0]
+        nchunks = -(-num_batches // chunk)
+        total = nchunks * chunk * bs
+        kperm, kstep = jax.random.split(rng_key)
+        perm = jax.random.permutation(kperm, n)
+        if total > n:
+            perm = jnp.concatenate(
+                [perm, jnp.zeros((total - n,), perm.dtype)]
+            )
+        w_all = (jnp.arange(total) < n).astype(jnp.float32)
+        sel_mat = perm.reshape(nchunks, chunk, bs)
+        w_mat = w_all.reshape(nchunks, chunk, bs)
+        if self._jit_epoch_ext is None or self._epoch_ext_chunk != chunk:
+            self._jit_epoch_ext = jax.jit(
+                self._epoch_fn(chunk, external_perm=True),
+                donate_argnums=(0,),
+            )
+            self._epoch_ext_chunk = chunk
+        params = state.params
+        extras = self._epoch_extras(state)
+        for c in range(nchunks):
+            params = self._jit_epoch_ext(
+                params, users, items, ratings, pad_items, pad_lengths,
+                sel_mat[c], w_mat[c], jax.random.fold_in(kstep, c), *extras,
+            )
+            # forced readback: bound the in-flight program chain
+            float(jnp.sum(params[next(iter(params))]))
+        return params
 
     # -- losses ---------------------------------------------------------------
     def data_loss(self, state: ModelState) -> float:

@@ -49,6 +49,10 @@ def main():
                     help="force the full-catalog dense-slab step")
     ap.add_argument("--sparse", action="store_true",
                     help="force the sparse path (disable auto-dense)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="max scan steps per dispatch (MFConfig.epoch_chunk;"
+                         " required at 1M-item scale — a whole-epoch program"
+                         " crashes the TPU worker)")
     ap.add_argument("--fast_rng", action="store_true",
                     help="TPU hardware PRNG for sampling (MFConfig.fast_rng)")
     ap.add_argument("--no_bucket", action="store_true",
@@ -76,6 +80,7 @@ def main():
                 num_dim=args.dim, batch_size=args.batch,
                 scatter_mode=args.scatter,
                 dense_mode=dense_mode,
+                epoch_chunk=args.chunk,
                 fast_rng=True if args.fast_rng else None,
             )
             if name == "BPR":

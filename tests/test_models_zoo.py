@@ -160,3 +160,16 @@ def test_mf_predict_shapes(splits):
     state = model.reset(train)
     preds = model.predict(state, test.users[:10], test.items[:10])
     assert preds.shape == (10,)
+
+
+def test_bpr_chunked_epoch_matches_fused(splits):
+    """epoch_chunk slices the fused epoch into bounded dispatches without
+    changing semantics: same shuffle, same minibatch sequence — metrics
+    land in the same place as the single-program epoch."""
+    train, test = splits
+    hists = {}
+    for chunk in (None, 3):
+        model = BPR(MFConfig(num_dim=8, batch_size=32, num_neg=3,
+                             epoch_chunk=chunk))
+        hists[chunk] = _topn(model, (train, test), iters=4)[-1]["R@10"]
+    assert abs(hists[None] - hists[3]) < 0.08, hists
