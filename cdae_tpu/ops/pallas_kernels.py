@@ -388,7 +388,6 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
     ij = pl.program_id(1)
     bi = pl.program_id(0)
     B_blk = uv_ref.shape[0]
-    INT_MIN = jnp.int32(-2147483648)
     C1 = jnp.int32(-1640531527)   # 0x9E3779B1
     C2 = jnp.int32(-2048144777)   # 0x85EBCA77 (wrapped)
     M1 = jnp.int32(-2048144789)   # 0x85EBCA6B
@@ -398,7 +397,7 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
     @pl.when(ij == 0)
     def _():
         nviol_ref[:] = jnp.zeros_like(nviol_ref)
-        bval_ref[:] = jnp.full_like(bval_ref, INT_MIN)
+        bval_ref[:] = jnp.full_like(bval_ref, -1.0)
         bidx_ref[:] = jnp.zeros_like(bidx_ref)
 
     scores = jax.lax.dot_general(
@@ -425,7 +424,10 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
         x = x ^ sr(x, 13)
         x = x * M2
         x = x ^ sr(x, 16)
-        masked = jnp.where(viol, x, INT_MIN)
+        # Mosaic argmax supports f32 only: low 24 hash bits -> exact f32
+        # (same trick as hw_uniform); non-violators rank below everything
+        u24 = jax.lax.bitwise_and(x, jnp.int32((1 << 24) - 1))
+        masked = jnp.where(viol, u24.astype(jnp.float32), -1.0)
         m = jnp.max(masked, axis=1)  # (B_blk,)
         arg = jnp.argmax(masked, axis=1).astype(jnp.int32)
         idx_glob = ij * block_i + arg
@@ -501,7 +503,7 @@ def warp_violator_select(
             jax.ShapeDtypeStruct((Bp, 128), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_b, 128), jnp.int32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
