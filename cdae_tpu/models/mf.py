@@ -88,6 +88,12 @@ class MFConfig:
     # of the XLA (B, I) scores/cumsum/bisection chain. Distribution-
     # identical (uniform over violators); trajectories differ by RNG
     # stream. None = auto (on when running on TPU).
+    gather_mode: str = "auto"  # auto|native|mxu — how the per-instance
+    # factor rows are READ from the tables. TPU row gathers of narrow
+    # (D≈10) rows serialize (~9 ns/row measured in-scan: 40% of the BPR
+    # step); "mxu" packs G=128//D rows per lane group and gathers via a
+    # VMEM one-hot contraction (ops/pallas_kernels.gather_rows_mxu, exact).
+    # "auto" = mxu on TPU for f32 tables with D<=64, native elsewhere.
     scatter_mode: str = "auto"  # auto|matmul|scatter — how per-instance
     # gradient rows are aggregated into the parameter tables. TPU scatters
     # serialize; "matmul" routes them through the MXU as one-hot matmuls
@@ -142,11 +148,45 @@ def _pointwise_contribs(uv_u, iv_i, ub_u, ib_i, labels, w, cfg: MFConfig,
     return d_uv, d_iv, d_ub, d_ib
 
 
+def _use_mxu_gather(cfg: MFConfig, table) -> bool:
+    if cfg.gather_mode == "native":
+        return False
+    if cfg.gather_mode == "mxu":
+        return True
+    # FLOP guard: the packed contraction costs ~N·0.8 ps/row (2·(N/8)·128
+    # flops at ~40 TF/s) vs ~9 ns/row for the serialized native gather —
+    # a ~3x win at N=3706 that INVERTS past N≈11k. Force with "mxu".
+    return (
+        jax.default_backend() == "tpu"
+        and table.dtype == jnp.float32
+        and table.shape[1] <= 64
+        and table.shape[0] <= 8192
+    )
+
+
+def _gather_factor_bias(factors, bias, idx, cfg):
+    """rows of [factors | bias] for a flat/structured idx -> (rows, bias).
+
+    One fused MXU packed-gather per table pair when enabled (the bias
+    column rides the same contraction), native row indexing otherwise."""
+    D = factors.shape[1]
+    if _use_mxu_gather(cfg, factors):
+        from cdae_tpu.ops.pallas_kernels import gather_rows_mxu
+
+        tbl = jnp.concatenate([factors, bias[:, None]], axis=1)
+        rows = gather_rows_mxu(tbl, idx.reshape(-1))
+        rows = rows.reshape(*idx.shape, D + 1)
+        return rows[..., :D], rows[..., D]
+    return factors[idx], bias[idx]
+
+
 def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
     """Per-instance contributions of the PMF/IMF update rule, aggregated
     into full tables (math in _pointwise_contribs)."""
+    uv_u, ub_u = _gather_factor_bias(params["uv"], params["ub"], u, cfg)
+    iv_i, ib_i = _gather_factor_bias(params["iv"], params["ib"], i, cfg)
     d_uv, d_iv, d_ub, d_ib = _pointwise_contribs(
-        params["uv"][u], params["iv"][i], params["ub"][u], params["ib"][i],
+        uv_u, iv_i, ub_u, ib_i,
         labels, w, cfg, loss,
     )
     sm = cfg.scatter_mode
@@ -630,9 +670,26 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
     instead of B·nn everywhere — ~4x less scatter work at num_neg=5.
     Bias gradients ride the SAME aggregation as extra value columns."""
     sm = cfg.scatter_mode
+    B = u.shape[0]
+    if _use_mxu_gather(cfg, params["uv"]):
+        # ONE packed gather for all B·(1+nn) item rows (+bias column),
+        # one for the B user rows
+        from cdae_tpu.ops.pallas_kernels import gather_rows_mxu
+
+        iv_rows, ib_rows = _gather_factor_bias(
+            params["iv"], params["ib"],
+            jnp.concatenate([i, j.reshape(-1)]), cfg,
+        )
+        iv_i, ib_i = iv_rows[:B], ib_rows[:B]
+        iv_j = iv_rows[B:].reshape(B, -1, iv_rows.shape[-1])
+        ib_j = ib_rows[B:].reshape(B, -1)
+        uv_u = gather_rows_mxu(params["uv"], u)
+    else:
+        uv_u = params["uv"][u]
+        iv_i, iv_j = params["iv"][i], params["iv"][j]
+        ib_i, ib_j = params["ib"][i], params["ib"][j]
     d_uv_rows, pos_vals, neg_vals, with_bias = _pair_contribs(
-        params["uv"][u], params["iv"][i], params["iv"][j],
-        params["ib"][i], params["ib"][j], w, cfg, loss,
+        uv_u, iv_i, iv_j, ib_i, ib_j, w, cfg, loss,
         rank_weight=rank_weight, update_bias=update_bias,
     )
     D = params["uv"].shape[1]

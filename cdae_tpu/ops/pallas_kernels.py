@@ -370,6 +370,89 @@ def streaming_topk_scores(
     return ids, vals
 
 
+# --------------------------------------------- narrow-row gather on the MXU -
+
+def _packed_gather_kernel(idx_ref, tbl_ref, out_ref, *, gsize: int,
+                          block_q: int):
+    """One (P_blk, 128) packed-row tile accumulated over Q blocks.
+
+    tbl is the (N, D) table packed G rows per 128-lane row (D padded to
+    128/G); the one-hot over the packed dimension q = idx//G is generated
+    in VMEM (never HBM) and contracted on the MXU — same trick as
+    scatter_matmul, transposed."""
+    qi = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = idx_ref[:, 0] // gsize  # (P_blk,)
+    qcol = jax.lax.broadcasted_iota(
+        jnp.int32, (q.shape[0], block_q), 1
+    ) + qi * block_q
+    oh = (q[:, None] == qcol).astype(jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        oh, tbl_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_p", "block_q"))
+def gather_rows_mxu(
+    table: jnp.ndarray,  # (N, D) f32, D small (narrow factor rows)
+    idx: jnp.ndarray,  # (P,) int32; out-of-range rows come back zero
+    block_p: int = 512,
+    block_q: int = 512,
+) -> jnp.ndarray:
+    """(P, D) = table[idx] via MXU one-hot contraction over PACKED rows.
+
+    TPU row gathers of narrow rows serialize (measured ~9 ns/row inside
+    the pairwise fused epoch — 40% of the BPR step); packing G = 128//Dp
+    consecutive rows per 128-lane group turns the gather into a
+    (P, N/G) x (N/G, 128) matmul whose one-hot lives only in VMEM, then a
+    G-way static-slice select that XLA fuses. Exact (f32 one-hot)."""
+    N, D = table.shape
+    Dp = 16 if D <= 16 else (32 if D <= 32 else 64 if D <= 64 else 128)
+    G = 128 // Dp
+    Np = _round_up(N, G * block_q)
+    tbl = jnp.pad(table.astype(jnp.float32), ((0, Np - N), (0, Dp - D)))
+    packed = tbl.reshape(Np // G, G * Dp)  # (Q, 128)
+    P = idx.shape[0]
+    Pp = _round_up(max(P, 1), block_p)
+    idx_p = jnp.pad(idx.astype(jnp.int32), (0, Pp - P),
+                    constant_values=jnp.int32(-1))[:, None]
+    Q = Np // G
+    grid = (Pp // block_p, Q // block_q)
+    out = pl.pallas_call(
+        functools.partial(_packed_gather_kernel, gsize=G, block_q=block_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_p, 1), lambda p, q: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 128), lambda p, q: (q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_p, 128), lambda p, q: (p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Pp * Q * 128,
+            bytes_accessed=Pp * (4 + 512) + Q * 512,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(idx_p, packed)
+    # unpack: select the (idx % G)-th D-slice of each 128-lane packed row.
+    # G static slices + masked sum — fused by XLA, no dynamic lane math.
+    g = (idx.astype(jnp.int32) % G)[:, None]  # (P, 1)
+    out = out[:P]
+    res = jnp.zeros((P, D), jnp.float32)
+    for gg in range(G):
+        res = res + jnp.where(g == gg, out[:, gg * Dp: gg * Dp + D], 0.0)
+    return res
+
+
 # ------------------------------------- fused WARP violator count + select ---
 
 def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,

@@ -572,6 +572,9 @@ class ShardedPairwise(RecsysModel):
             # single-device program — keep the sharded epoch on the XLA
             # scores/cumsum path so GSPMD can partition it over 'data'.
             cfg = dataclasses.replace(cfg, use_pallas=False)
+        if cfg.gather_mode != "native":
+            # same story for the MXU packed-gather kernel
+            cfg = dataclasses.replace(cfg, gather_mode="native")
         if cfg is not inner.cfg:
             inner = type(inner)(cfg)
         self.inner = inner
