@@ -89,11 +89,13 @@ class MFConfig:
     # identical (uniform over violators); trajectories differ by RNG
     # stream. None = auto (on when running on TPU).
     gather_mode: str = "auto"  # auto|native|mxu — how the per-instance
-    # factor rows are READ from the tables. TPU row gathers of narrow
-    # (D≈10) rows serialize (~9 ns/row measured in-scan: 40% of the BPR
-    # step); "mxu" packs G=128//D rows per lane group and gathers via a
-    # VMEM one-hot contraction (ops/pallas_kernels.gather_rows_mxu, exact).
-    # "auto" = mxu on TPU for f32 tables with D<=64, native elsewhere.
+    # factor rows are READ from the tables. "mxu" packs G=128//D rows per
+    # lane group and gathers via a VMEM one-hot contraction
+    # (ops/pallas_kernels.gather_rows_mxu, exact). MEASURED NEGATIVE at
+    # MF shapes (2026-08-18, ML-1M dim 10: BPR 26.9k vs 31.2k native,
+    # WARP 15.7k vs 17.6k — the f32 one-hot contraction costs more than
+    # the serialized native gather it replaces), so "auto" = native
+    # everywhere; the mode is kept for wider-D / bf16 experiments.
     scatter_mode: str = "auto"  # auto|matmul|scatter — how per-instance
     # gradient rows are aggregated into the parameter tables. TPU scatters
     # serialize; "matmul" routes them through the MXU as one-hot matmuls
@@ -153,15 +155,11 @@ def _use_mxu_gather(cfg: MFConfig, table) -> bool:
         return False
     if cfg.gather_mode == "mxu":
         return True
-    # FLOP guard: the packed contraction costs ~N·0.8 ps/row (2·(N/8)·128
-    # flops at ~40 TF/s) vs ~9 ns/row for the serialized native gather —
-    # a ~3x win at N=3706 that INVERTS past N≈11k. Force with "mxu".
-    return (
-        jax.default_backend() == "tpu"
-        and table.dtype == jnp.float32
-        and table.shape[1] <= 64
-        and table.shape[0] <= 8192
-    )
+    # auto = native: the f32 packed contraction measured SLOWER than the
+    # native gather end to end at every tested MF shape (see MFConfig
+    # docstring / BASELINE.md) — f32 MXU throughput at (P, N/8) x (N/8,
+    # 128) tiles never reached the estimated rate. Opt in with "mxu".
+    return False
 
 
 def _gather_factor_bias(factors, bias, idx, cfg):
