@@ -77,6 +77,16 @@ class MFConfig:
     # seeds x 20 epochs: IMF dense delta -0.003, BPR sparse +0.0003 — both
     # within the 0.03 gate; BASELINE.md). Kept opt-in because the measured
     # end-to-end win on the pairwise path is small (+1.6% at bs8192).
+    row_update: Optional[bool] = None  # sparse steps: update ONLY the
+    # touched parameter rows via duplicate-safe delta AdaGrad
+    # (solver/optimizer.row_adagrad_delta — the CDAE sparse path's scheme)
+    # instead of materializing full (I, C)/(U, D) gradient tables and a
+    # dense accumulate-then-apply pass. O(B·(1+nn)) per step, independent
+    # of catalog size: at 1M items the dense pass was 228 ms/step (701
+    # users/s). Semantics: per-contribution AdaGrad (duplicates within a
+    # batch see partially-stale accumulators — CLOSER to the reference's
+    # sequential per-pair updates than accumulate-then-apply). None = auto
+    # (on when the item count exceeds ~128k).
     epoch_chunk: Optional[int] = None  # max scan steps per device dispatch.
     # None = the whole epoch is ONE fused program (fastest; default). At
     # huge-catalog shapes a single multi-hundred-step program exceeds the
@@ -176,6 +186,42 @@ def _gather_factor_bias(factors, bias, idx, cfg):
         rows = rows.reshape(*idx.shape, D + 1)
         return rows[..., :D], rows[..., D]
     return factors[idx], bias[idx]
+
+
+def _use_row_update(cfg: MFConfig, num_items: int) -> bool:
+    if cfg.row_update is not None:
+        return cfg.row_update
+    return num_items > 131072
+
+
+def _pointwise_apply(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
+    """One pointwise minibatch update: full-table accumulate-then-apply
+    AdaGrad, or O(P) touched-rows delta AdaGrad for huge catalogs."""
+    if not _use_row_update(cfg, params["iv"].shape[0]):
+        return _adagrad_apply(
+            params, _pointwise_grads(params, u, i, labels, w, cfg, loss),
+            cfg,
+        )
+    d_uv, d_iv, d_ub, d_ib = _pointwise_contribs(
+        params["uv"][u], params["iv"][i], params["ub"][u], params["ib"][i],
+        labels, w, cfg, loss,
+    )
+    live = w > 0
+    out = dict(params)
+    out["uv"], out["uv_ag"] = row_adagrad_delta(
+        params["uv"], params["uv_ag"], u, d_uv, live[:, None],
+        cfg.learn_rate, cfg.beta, cfg.using_adagrad)
+    out["iv"], out["iv_ag"] = row_adagrad_delta(
+        params["iv"], params["iv_ag"], i, d_iv, live[:, None],
+        cfg.learn_rate, cfg.beta, cfg.using_adagrad)
+    if cfg.using_bias_term:
+        out["ub"], out["ub_ag"] = row_adagrad_delta(
+            params["ub"], params["ub_ag"], u, d_ub, live,
+            cfg.learn_rate, cfg.beta, cfg.using_adagrad)
+        out["ib"], out["ib_ag"] = row_adagrad_delta(
+            params["ib"], params["ib_ag"], i, d_ib, live,
+            cfg.learn_rate, cfg.beta, cfg.using_adagrad)
+    return out
 
 
 def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
@@ -526,8 +572,7 @@ class PMF(_MFBase):
 
     @staticmethod
     def _step(params, u, i, r, w, rated, lengths, key, *, cfg, loss):
-        grads = _pointwise_grads(params, u, i, r, w, cfg, loss)
-        return _adagrad_apply(params, grads, cfg)
+        return _pointwise_apply(params, u, i, r, w, cfg, loss)
 
     @staticmethod
     def _dense_step(params, R, ratings, uids, weight, key, *, cfg, loss):
@@ -600,7 +645,7 @@ class IMF(_MFBase):
             all_w = jnp.tile(w[:, None], (1, nn + 1)) * (
                 all_i < I
             ).astype(w.dtype)
-            grads = _pointwise_grads(
+            return _pointwise_apply(
                 params,
                 all_u.reshape(-1),
                 jnp.clip(all_i, 0, I - 1).reshape(-1),
@@ -609,11 +654,9 @@ class IMF(_MFBase):
                 cfg,
                 loss,
             )
-        else:
-            grads = _pointwise_grads(
-                params, u, i, jnp.full_like(r, loss.positive_label), w, cfg, loss
-            )
-        return _adagrad_apply(params, grads, cfg)
+        return _pointwise_apply(
+            params, u, i, jnp.full_like(r, loss.positive_label), w, cfg, loss
+        )
 
 
 def _pair_contribs(uv_u, iv_i, iv_j, ib_i, ib_j, w, cfg, loss,
@@ -713,6 +756,45 @@ def _pairwise_grads(params, u, i, j, w, cfg, loss, rank_weight=None,
     return grads
 
 
+def _pairwise_apply(params, u, i, j, w, cfg, loss, rank_weight=None,
+                    update_bias=True):
+    """One pairwise minibatch update: full-table accumulate-then-apply
+    AdaGrad, or O(B·(1+nn)) touched-rows delta AdaGrad for huge catalogs
+    (see MFConfig.row_update)."""
+    if not _use_row_update(cfg, params["iv"].shape[0]):
+        return _adagrad_apply(
+            params,
+            _pairwise_grads(params, u, i, j, w, cfg, loss,
+                            rank_weight=rank_weight,
+                            update_bias=update_bias),
+            cfg,
+        )
+    d_uv_rows, pos_vals, neg_vals, with_bias = _pair_contribs(
+        params["uv"][u], params["iv"][i], params["iv"][j],
+        params["ib"][i], params["ib"][j], w, cfg, loss,
+        rank_weight=rank_weight, update_bias=update_bias,
+    )
+    D = params["uv"].shape[1]
+    C = pos_vals.shape[-1]
+    lr, beta, ada = cfg.learn_rate, cfg.beta, cfg.using_adagrad
+    acc_idx = jnp.concatenate([i, j.reshape(-1)])
+    acc_vals = jnp.concatenate([pos_vals, neg_vals.reshape(-1, C)])
+    u_live = jnp.any(w > 0, axis=1)
+    live = jnp.concatenate([u_live, (w > 0).reshape(-1)])
+    out = dict(params)
+    out["iv"], out["iv_ag"] = row_adagrad_delta(
+        params["iv"], params["iv_ag"], acc_idx, acc_vals[:, :D],
+        live[:, None], lr, beta, ada)
+    if with_bias:
+        out["ib"], out["ib_ag"] = row_adagrad_delta(
+            params["ib"], params["ib_ag"], acc_idx, acc_vals[:, D],
+            live, lr, beta, ada)
+    out["uv"], out["uv_ag"] = row_adagrad_delta(
+        params["uv"], params["uv_ag"], u, d_uv_rows, u_live[:, None],
+        lr, beta, ada)
+    return out
+
+
 class BPR(_MFBase):
     """Bayesian personalized ranking (ref bpr.hpp). Default loss LOG
     (ref BPRConfig bpr.hpp:17); num_neg pairs per positive."""
@@ -732,10 +814,9 @@ class BPR(_MFBase):
                                       hw=cfg.fast_rng)  # (B,nn)
         # sentinel id I = empty complement -> zero-weight those pairs
         pair_w = w[:, None] * (neg < I).astype(w.dtype)
-        grads = _pairwise_grads(
+        return _pairwise_apply(
             params, u, i, jnp.clip(neg, 0, I - 1), pair_w, cfg, loss
         )
-        return _adagrad_apply(params, grads, cfg)
 
 
 class WARP(_MFBase):
@@ -858,11 +939,10 @@ class WARP(_MFBase):
         l_tab = _warp_harmonic(I)
         rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]
         pair_w = w[:, None] * found
-        grads = _pairwise_grads(
+        return _pairwise_apply(
             params, u, i, j, pair_w, cfg, loss, rank_weight=rw,
             update_bias=False,  # ref warp.hpp:90-117 bias updates commented out
         )
-        return _adagrad_apply(params, grads, cfg)
 
     @staticmethod
     def _scan_path(params, u, i, w, rated, lengths, key, *, cfg, loss):
@@ -893,11 +973,10 @@ class WARP(_MFBase):
         l_tab = _warp_harmonic(I)
         rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]  # (B,nn)
         pair_w = w[:, None] * found  # (B, nn)
-        grads = _pairwise_grads(
+        return _pairwise_apply(
             params, u, i, j, pair_w, cfg, loss, rank_weight=rw,
             update_bias=False,  # ref warp.hpp:90-117 bias updates commented out
         )
-        return _adagrad_apply(params, grads, cfg)
 
 
 def _rank_select_first_gt(cum: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

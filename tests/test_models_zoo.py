@@ -173,3 +173,43 @@ def test_bpr_chunked_epoch_matches_fused(splits):
                              epoch_chunk=chunk))
         hists[chunk] = _topn(model, (train, test), iters=4)[-1]["R@10"]
     assert abs(hists[None] - hists[3]) < 0.08, hists
+
+
+def test_row_update_matches_dense_apply_no_duplicates():
+    """With no duplicate touched rows in a batch, touched-rows delta
+    AdaGrad == dense accumulate-then-apply (same math, same order)."""
+    from cdae_tpu.models.mf import (
+        MFConfig, _pairwise_apply, _init_mf_params)
+
+    cfg_dense = MFConfig(num_dim=6, num_neg=2, row_update=False, loss="LOG")
+    cfg_row = MFConfig(num_dim=6, num_neg=2, row_update=True, loss="LOG")
+    params = _init_mf_params(jax.random.PRNGKey(0), 40, 60, 6, jnp.float32)
+    B = 8
+    u = jnp.arange(B, dtype=jnp.int32)  # unique users
+    i = jnp.arange(B, dtype=jnp.int32)  # unique positives
+    # negatives: unique ids disjoint from positives
+    j = (B + jnp.arange(B * 2, dtype=jnp.int32)).reshape(B, 2)
+    w = jnp.ones((B, 2), jnp.float32)
+    out_d = _pairwise_apply(dict(params), u, i, j, w, cfg_dense,
+                            __import__("cdae_tpu.ops.losses",
+                                       fromlist=["Loss"]).Loss.create("LOG"))
+    out_r = _pairwise_apply(dict(params), u, i, j, w, cfg_row,
+                            __import__("cdae_tpu.ops.losses",
+                                       fromlist=["Loss"]).Loss.create("LOG"))
+    for k in out_d:
+        np.testing.assert_allclose(np.asarray(out_d[k]),
+                                   np.asarray(out_r[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_bpr_imf_row_update_train(splits):
+    """row_update=True trains to the same recall ballpark as the dense
+    apply (duplicates inside a batch see per-contribution AdaGrad — the
+    reference's own sequential semantics)."""
+    for cls in (BPR, IMF):
+        res = {}
+        for ru in (False, True):
+            model = cls(MFConfig(num_dim=8, batch_size=64, num_neg=3,
+                                 row_update=ru, dense_mode=False))
+            res[ru] = _topn(model, splits, iters=5)[-1]["R@10"]
+        assert abs(res[True] - res[False]) < 0.1, (cls.name, res)
