@@ -575,6 +575,11 @@ class ShardedPairwise(RecsysModel):
         if cfg.gather_mode != "native":
             # same story for the MXU packed-gather kernel
             cfg = dataclasses.replace(cfg, gather_mode="native")
+        if cfg.row_update is not False:
+            # the touched-rows delta path scatters per table — its GSPMD
+            # partitioning is unvalidated; the DP epoch keeps the dense
+            # apply (ShardedMFTP is the huge-catalog multi-chip trainer)
+            cfg = dataclasses.replace(cfg, row_update=False)
         if cfg is not inner.cfg:
             inner = type(inner)(cfg)
         self.inner = inner

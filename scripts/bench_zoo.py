@@ -49,6 +49,8 @@ def main():
                     help="force the full-catalog dense-slab step")
     ap.add_argument("--sparse", action="store_true",
                     help="force the sparse path (disable auto-dense)")
+    ap.add_argument("--row_update", action="store_true",
+                    help="force touched-rows delta AdaGrad (auto >128k items)")
     ap.add_argument("--chunk", type=int, default=None,
                     help="max scan steps per dispatch (MFConfig.epoch_chunk;"
                          " required at 1M-item scale — a whole-epoch program"
@@ -81,6 +83,7 @@ def main():
                 scatter_mode=args.scatter,
                 dense_mode=dense_mode,
                 epoch_chunk=args.chunk,
+                row_update=True if args.row_update else None,
                 fast_rng=True if args.fast_rng else None,
             )
             if name == "BPR":
