@@ -457,17 +457,22 @@ def gather_rows_mxu(
 
 def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
                         nviol_ref, j_ref, bval_ref, bidx_ref,
-                        *, nn: int, block_i: int):
+                        *, nn: int, block_i: int, noise: str):
     """One (B_blk, block_i) tile of the WARP violator pipeline.
 
     Computes the score tile on the MXU, the violation mask in VMEM, and
     merges per-tile results into the running per-row (count, nn argmax
     selections) — the (B, I) score/violation/cumsum arrays of the XLA
     formulation never reach HBM. Selection is uniform over violators via
-    the argmax-of-iid-noise identity: each (row, col, slot) gets a
-    deterministic 32-bit mix of (seed, row, col, slot) and slot k keeps
-    the violator with the largest value (distribution-identical to the
-    reference's uniform draw among violators, ref warp.hpp:63-88)."""
+    the argmax-of-iid-noise identity: each (row, col, slot) gets an
+    independent 24-bit value and slot k keeps the violator with the
+    largest one (distribution-identical to the reference's uniform draw
+    among violators, ref warp.hpp:63-88).
+
+    noise: "hw" — TPU hardware PRNG, 1 op/elem (deterministic per
+    (seed, slot, grid position), so selections depend on the tiling);
+    "hash" — murmur-style mix of global (row, col, slot), ~9 ops/elem,
+    tiling-invariant and available in interpret mode."""
     ij = pl.program_id(1)
     bi = pl.program_id(0)
     B_blk = uv_ref.shape[0]
@@ -492,22 +497,32 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
     viol = (scores > thr_ref[:]) & (mask_ref[:].astype(jnp.float32) == 0.0)
     nviol_ref[:] += jnp.sum(viol.astype(jnp.int32), axis=1, keepdims=True)
 
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 1) + (
-        ij * block_i
-    )
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 0) + (
-        bi * B_blk
-    )
+    if noise == "hash":
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 1) + (
+            ij * block_i
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 0) + (
+            bi * B_blk
+        )
     cols_k = jax.lax.broadcasted_iota(jnp.int32, bval_ref.shape, 1)
     sr = jax.lax.shift_right_logical
     for k in range(nn):  # static, small
-        x = seed_ref[0] + cols * C1 + rows * C2 + jnp.int32(k) * K1
-        x = x ^ sr(x, 16)
-        x = x * M1
-        x = x ^ sr(x, 13)
-        x = x * M2
-        x = x ^ sr(x, 16)
-        # Mosaic argmax supports f32 only: low 24 hash bits -> exact f32
+        if noise == "hw":
+            # prng_seed takes at most 2 words and combines them ~additively
+            # (see _uniform_kernel) — spread (slot, grid pos) into one word
+            # multiplicatively so distinct blocks land on distant streams
+            comb = (jnp.int32(k) * C1 + bi * jnp.int32(97003) + ij
+                    ) * jnp.int32(2654435761 - (1 << 32))
+            pltpu.prng_seed(seed_ref[0], comb)
+            x = pltpu.prng_random_bits((B_blk, block_i))
+        else:
+            x = seed_ref[0] + cols * C1 + rows * C2 + jnp.int32(k) * K1
+            x = x ^ sr(x, 16)
+            x = x * M1
+            x = x ^ sr(x, 13)
+            x = x * M2
+            x = x ^ sr(x, 16)
+        # Mosaic argmax supports f32 only: low 24 bits -> exact f32
         # (same trick as hw_uniform); non-violators rank below everything
         u24 = jax.lax.bitwise_and(x, jnp.int32((1 << 24) - 1))
         masked = jnp.where(viol, u24.astype(jnp.float32), -1.0)
@@ -524,7 +539,8 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
         j_ref[:] = bidx_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("nn", "block_b", "block_i"))
+@functools.partial(jax.jit,
+                   static_argnames=("nn", "block_b", "block_i", "noise"))
 def warp_violator_select(
     seed: jnp.ndarray,  # () or (1,) int32
     uv_u: jnp.ndarray,  # (B, D) user rows
@@ -535,6 +551,7 @@ def warp_violator_select(
     nn: int,
     block_b: int = 256,
     block_i: int = 1024,
+    noise: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused WARP violator count + nn uniform violator selections.
 
@@ -543,7 +560,10 @@ def warp_violator_select(
     bisection rank-select (models/mf.py WARP._dense_path) with one kernel
     whose only HBM traffic is the inputs (~B·I bytes of int8 mask). Rows
     with nviol == 0 return j = 0 — callers zero-weight them via the
-    `found` gate exactly as the XLA path does."""
+    `found` gate exactly as the XLA path does.
+
+    noise: None = "hw" (hardware PRNG, 1 op/elem) on TPU, "hash"
+    (tiling-invariant murmur mix) in interpret mode / tests."""
     B, D = uv_u.shape
     I = iv.shape[0]
     Bp = _round_up(B, block_b)
@@ -557,7 +577,14 @@ def warp_violator_select(
                    constant_values=3.0e38).reshape(Bp, 1)
     maskp = jnp.pad(mask_rows.astype(jnp.int8), ((0, Bp - B), (0, Ipad - I)),
                     constant_values=jnp.int8(1))
-    kernel = functools.partial(_warp_select_kernel, nn=nn, block_i=block_i)
+    if noise is None:
+        # "hw" measured NO end-to-end gain over the hash (16.9k vs 17.6k
+        # users/s at bs8192 — the per-slot select/reduce passes dominate,
+        # not noise generation) and its 2-word prng_seed aliases nearby
+        # streams; the hash is tiling-invariant and chi-square-clean.
+        noise = "hash"
+    kernel = functools.partial(_warp_select_kernel, nn=nn, block_i=block_i,
+                               noise=noise)
     grid = (Bp // block_b, Ipad // block_i)
     nviol, j = pl.pallas_call(
         kernel,
