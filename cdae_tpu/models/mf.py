@@ -328,9 +328,12 @@ class _MFBase(RecsysModel):
 
         def run_scan(params, users, items, ratings, pad_items, pad_lengths,
                      sel_mat, w_mat, kstep, extras):
-            def body(carry, inp):
-                params, key = carry
-                sel, w = inp
+            # per-step keys pre-split in ONE vectorized threefry call (an
+            # in-scan split would serialize a small kernel per step)
+            subs = jax.random.split(kstep, sel_mat.shape[0])
+
+            def body(params, inp):
+                sel, w, sub = inp
                 u = users[sel]
                 it, rt = items[sel], ratings[sel]
                 pu, pl = pad_items[u], pad_lengths[u]
@@ -340,12 +343,11 @@ class _MFBase(RecsysModel):
                     u, it, rt, w = map(constrain, (u, it, rt, w))
                     pu, pl = constrain(pu), constrain(pl)
                     ex = [constrain(e) for e in ex]
-                key, sub = jax.random.split(key)
                 params = step(params, u, it, rt, w, pu, pl, sub, *ex)
-                return (params, key), None
+                return params, None
 
-            (params, _), _ = jax.lax.scan(body, (params, kstep),
-                                          (sel_mat, w_mat))
+            params, _ = jax.lax.scan(body, params,
+                                     (sel_mat, w_mat, subs))
             return params
 
         if external_perm:

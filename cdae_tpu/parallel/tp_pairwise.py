@@ -316,14 +316,18 @@ class ShardedMFTP(RecsysModel):
                     d_iv = jnp.concatenate([d_iv, d_ib[:, None]], axis=1)
                 return u_l, d_uv, None, i_l, d_iv, with_ub
 
+            # pre-split per-step keys — must mirror the single-chip epoch's
+            # stream exactly (models/mf._epoch_fn) for the trajectory-match
+            # tests to hold
+            subs = jax.random.split(key, sel_mat.shape[0])
+
             def body(carry, inp):
-                uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key = carry
-                sel, w = inp  # (bs,) replicated — matches single-chip
+                uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag = carry
+                sel, w, sub = inp  # (bs,) replicated — matches single-chip
                 u = users[sel]
                 i = items[sel]
                 r = ratings[sel]
                 pu, pl = pad_items[u], pad_lengths[u]
-                key, sub = jax.random.split(key)
                 if mode == "pair":
                     u_l, u_vals, _, i_idx, i_vals, with_ib = pair_chunk(
                         uv, iv, ib, u, i, w, pu, pl, sub)
@@ -346,11 +350,11 @@ class ShardedMFTP(RecsysModel):
                 if with_ib:
                     ib, ib_ag = dense_adagrad_step(ib, ib_ag, acc_i[:, D],
                                                    lr, beta, uag)
-                return (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key), None
+                return (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag), None
 
-            carry = (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag, key)
-            carry, _ = jax.lax.scan(body, carry, (sel_mat, w_mat))
-            return carry[:-1]
+            carry = (uv, uv_ag, ub, ub_ag, iv, iv_ag, ib, ib_ag)
+            carry, _ = jax.lax.scan(body, carry, (sel_mat, w_mat, subs))
+            return carry
 
         blk_spec = P("model", None)
         vec_spec = P("model")
