@@ -822,9 +822,16 @@ def _dense_train_step(
     lam, lr, beta = cfg.lambda_, cfg.learn_rate, cfg.beta
     k_corrupt, k_neg = jax.random.split(key)
 
-    w_user = weight.astype(dt)
-    rows = dense_R[uids].astype(dt) * w_user[:, None]  # (B, I) 0/1
-    lengths = jnp.sum(rows, axis=1)  # (B,)
+    # slab dtype: with compute_dtype=bf16 every (B, I) slab LIVES in bf16
+    # (masks are 0/1-valued — exact; only the loss-gradient slab rounds).
+    # Round-1 finding: casting f32 slabs per-matmul ADDED conversion
+    # traffic and bf16 showed no speedup; storing the slabs in bf16 halves
+    # the HBM traffic this step is bound by.
+    sdt = cdt
+    w_user = weight.astype(sdt)
+    rows = dense_R[uids].astype(sdt) * w_user[:, None]  # (B, I) 0/1
+    # counts exceed bf16's exact-integer range — accumulate f32
+    lengths = jnp.sum(rows, axis=1, dtype=jnp.float32).astype(dt)  # (B,)
     B_, I_ = rows.shape
 
     def uniform(k):
@@ -839,7 +846,7 @@ def _dense_train_step(
     if cfg.corruption_ratio > 0.0:
         kept = rows * (
             uniform(k_corrupt) > cfg.corruption_ratio
-        ).astype(dt)
+        ).astype(sdt)
     else:
         kept = rows
     scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
@@ -869,25 +876,30 @@ def _dense_train_step(
     # negatives: Bernoulli complement selection, E[count] = num_neg·|O_u|
     p_neg = jnp.clip(
         cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
-    )
+    ).astype(sdt)
     neg_sel = (
         (1.0 - rows)
-        * (uniform(k_neg) < p_neg[:, None]).astype(dt)
+        * (uniform(k_neg) < p_neg[:, None]).astype(sdt)
         * w_user[:, None]
     )
-    w_mat = rows + neg_sel  # per-(user,item) touch counts
+    w_mat = rows + neg_sel  # per-(user,item) touch counts (0/1 — exact)
 
     table = params["V"] if cfg.asymmetric else params["W"]
+    # pred/gradient math in f32 (fused elementwise), g STORED in sdt —
+    # the only rounding a bf16 run introduces (parity-gated)
     pred = jnp.einsum(
         "bd,id->bi", z.astype(cdt), table.astype(cdt),
         preferred_element_type=jnp.float32,
-    ).astype(dt) + params["b_prime"][None, :]
-    g = jnp.where(
+    ) + params["b_prime"].astype(jnp.float32)[None, :]
+    g = (jnp.where(
         rows > 0, loss.gradient(pred, 1.0), loss.gradient(pred, 0.0)
-    ) * w_mat
+    ) * w_mat.astype(jnp.float32)).astype(sdt)
 
-    touches = jnp.sum(w_mat, axis=0)  # (I,)
-    d_bp = jnp.sum(g, axis=0) + lam * touches * params["b_prime"]
+    touches = jnp.sum(
+        w_mat, axis=0, dtype=jnp.float32
+    ).astype(dt)  # (I,)
+    d_bp = jnp.sum(g, axis=0, dtype=jnp.float32).astype(dt) \
+        + lam * touches * params["b_prime"]
     hidden_grad = mm(g, table)
     hg = hidden_grad * dz
 
@@ -896,7 +908,9 @@ def _dense_train_step(
         # decoder touches update V; kept inputs update W with base + λW
         # (ref cdae.hpp:241-246, 278-283 + input branch :333-349)
         d_V = mm_T(g, z) + lam * touches[:, None] * params["V"]
-        d_W = mm_T(kept, base) + lam * jnp.sum(kept, 0)[:, None] * params["W"]
+        d_W = mm_T(kept, base) + lam * jnp.sum(
+            kept, 0, dtype=jnp.float32
+        ).astype(dt)[:, None] * params["W"]
     else:
         # identical totals to the sparse step: every touch contributes g·z,
         # kept inputs add the deferred base term, λ once per touch

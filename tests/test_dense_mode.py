@@ -149,3 +149,23 @@ def test_batch_topk_streaming_matches_scores_path(data):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
     # moderate catalog: batch_topk defers to the scores path
     assert model.batch_topk(state, uids, ri, rm) is None
+
+
+def test_dense_mode_bf16_slabs_learn(data):
+    """compute_dtype=bf16 keeps every (B, I) slab in bf16 (masks exact,
+    gradient slab rounded) — training lands in the same recall ballpark
+    as f32."""
+    train, test = data.split_by_user(0.2, seed=20141119)
+    res = {}
+    for cdt in (None, jnp.bfloat16):
+        model = CDAE(CDAEConfig(num_dim=10, loss="SQUARE",
+                                corruption_ratio=0.2, num_neg=5,
+                                batch_size=32, dense_mode=True,
+                                compute_dtype=cdt, use_pallas=False))
+        state = model.reset(train, seed=1)
+        state = model.train_epochs(state, 15, jax.random.PRNGKey(1))
+        r = Evaluation.create("TOPN").evaluate(model, state, test, train)
+        res[str(cdt)] = r["R@10"]
+    assert res["<class 'jax.numpy.bfloat16'>"] > 0.3, res
+    vals = list(res.values())
+    assert abs(vals[0] - vals[1]) < 0.1, res
