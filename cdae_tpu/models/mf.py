@@ -66,10 +66,19 @@ class MFConfig:
     # --- TPU build knobs ---
     batch_size: int = 1024  # instances per synchronous minibatch
     num_tries: int = 64  # WARP only: candidate negatives scanned per update
-    dense_mode: Optional[bool] = None  # PMF/IMF only: full-catalog dense
+    dense_mode: Optional[bool] = None  # PMF/IMF: full-catalog dense
     # slabs instead of scatter-adds (TPU scatters serialize); Bernoulli
     # complement negatives with E[count]=num_neg per positive. None = auto
-    # when the (U, I) matrix fits HBM. Pairwise models (BPR/WARP) ignore it.
+    # when the (U, I) matrix fits HBM. BPR: per-USER dense slab with
+    # num_shared_neg shared negatives (see BPR._dense_step) — opt-in
+    # (None = off) until its TPU parity cell is recorded. WARP ignores it
+    # for training (its dense violator path is a separate mechanism).
+    num_shared_neg: int = 32  # BPR dense slab only: shared negative draws
+    # per user per epoch. Each positive pairs with ALL M live draws at
+    # weight num_neg/M_live — an unbiased estimator of the reference's
+    # num_neg independent per-positive draws (uniform over unrated), with
+    # lower per-positive variance and every gather/scatter restructured
+    # into (B,I)x(I,D) MXU matmuls.
     fast_rng: Optional[bool] = None  # TPU hardware PRNG (see
     # CDAEConfig.fast_rng) for the dense negative masks AND the sparse-path
     # samplers (complement draws, WARP geometric/violator draws); None = off.
@@ -251,7 +260,10 @@ def _pointwise_grads(params, u, i, labels, w, cfg: MFConfig, loss: Loss):
 class _MFBase(RecsysModel):
     """Shared reset/scoring/loss plumbing for the MF family."""
 
-    dense_capable = False  # pointwise subclasses opt in
+    dense_capable = False  # subclasses with a _dense_step opt in
+    dense_auto = True  # dense_mode=None => auto-on when it fits HBM;
+    # False = opt-in only (BPR: slab cadence trades AdaGrad steps for
+    # MXU throughput — kept explicit until measured per workload)
     uses_ratings = False
 
     def __init__(self, config: Optional[MFConfig] = None, **kw):
@@ -288,6 +300,7 @@ class _MFBase(RecsysModel):
         if dense is None:
             dense = (
                 self.dense_capable
+                and self.dense_auto
                 and U * I <= 1_500_000_000
                 and self.cfg.batch_size * I * 40 <= 4_000_000_000
             )
@@ -799,9 +812,26 @@ def _pairwise_apply(params, u, i, j, w, cfg, loss, rank_weight=None,
 
 class BPR(_MFBase):
     """Bayesian personalized ranking (ref bpr.hpp). Default loss LOG
-    (ref BPRConfig bpr.hpp:17); num_neg pairs per positive."""
+    (ref BPRConfig bpr.hpp:17); num_neg pairs per positive.
+
+    Two step implementations:
+    - sparse path (default): shuffled instance minibatches, num_neg exact
+      complement draws per positive, factored one-hot scatter aggregation.
+      Matches the reference's per-pair cadence closely but is bound by
+      per-instance row gathers (~31k users/s at ML-1M shapes — BASELINE.md).
+    - dense slab (``dense_mode=True``): per-USER batches. One
+      (B,D)x(D,I) MXU matmul scores the whole catalog, M=num_shared_neg
+      negatives are drawn per user and SHARED by all of the user's
+      positives at weight num_neg/M_live — an unbiased restructuring of
+      the reference's num_neg independent draws per positive (both sample
+      uniform over the user's unrated items; only the pairing layout
+      changes). All pos-side gradient aggregation becomes dense matmuls
+      (posW.T @ uv / posW @ iv); only the B·M neg rows scatter.
+    """
 
     name = "BPR"
+    dense_capable = True
+    dense_auto = False  # slab cadence is a measured trade — opt-in
 
     def __init__(self, config: Optional[MFConfig] = None, **kw):
         if config is None and "loss" not in kw:
@@ -819,6 +849,89 @@ class BPR(_MFBase):
         return _pairwise_apply(
             params, u, i, jnp.clip(neg, 0, I - 1), pair_w, cfg, loss
         )
+
+    @staticmethod
+    def _dense_step(params, R, ratings, uids, weight, key, *, cfg, loss):
+        """Per-user dense slab with shared negatives (docstring above).
+
+        Pair math follows _pair_contribs / ref bpr.hpp:72-106 exactly —
+        g = loss'(s(u,i) − s(u,j), 1), each pair adds its own 2λ·param
+        term, ub never updates (it cancels in the pair score) — only the
+        negative-sampling layout is restructured (per-user shared draws
+        instead of per-positive independent draws; both uniform over the
+        user's unrated items)."""
+        dt = params["uv"].dtype
+        I = params["iv"].shape[0]
+        B = uids.shape[0]
+        M = max(cfg.num_shared_neg, 1)
+        nn = max(cfg.num_neg, 1)
+        lam2 = 2.0 * cfg.lambda_
+        w_user = weight.astype(dt)
+        rows01 = R[uids].astype(dt)  # (B, I) 0/1 positives
+        rows = rows01 * w_user[:, None]
+        uv_u = params["uv"][uids]  # (B, D)
+        S = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
+        # M shared draws per user, uniform over the catalog; draws that
+        # land on a rated item are zero-weighted (uniform over unrated
+        # conditional on being live — the rated fraction is typically
+        # a few percent, so M_live ≈ M)
+        if cfg.fast_rng:
+            j = sampling.hw_randint(key, (B, M), I)
+        else:
+            j = jax.random.randint(key, (B, M), 0, I)
+        live = (
+            1.0 - jnp.take_along_axis(rows01, j, axis=1)
+        ) * w_user[:, None]  # (B, M) 1 iff draw is unrated and row is real
+        m_live = jnp.sum(live, axis=1)  # (B,)
+        # per-pair weight a_u = num_neg / M_live (expected per-positive
+        # update mass == the reference's num_neg draws)
+        a = jnp.where(m_live > 0, nn / jnp.maximum(m_live, 1.0), 0.0)  # (B,)
+        t = jnp.take_along_axis(S, j, axis=1)  # (B, M) negative scores
+        # fused (B, I, M) reductions — XLA fuses broadcast+grad+reduce, the
+        # cube never materializes in HBM
+        g = loss.gradient(S[:, :, None] - t[:, None, :], 1.0)  # (B, I, M)
+        pos_w = rows * a[:, None] * jnp.sum(
+            g * live[:, None, :], axis=2
+        )  # (B, I): per-positive summed pair grads
+        neg_w = live * a[:, None] * jnp.sum(
+            g * rows[:, :, None], axis=1
+        )  # (B, M): per-draw summed pair grads
+        # touch counts for the per-pair 2λ terms
+        pos_touch = rows * (w_user * nn)[:, None]  # (B, I) pairs per positive
+        L_u = jnp.sum(rows, axis=1)  # (B,)
+        neg_touch = jnp.where(m_live > 0, a * L_u, 0.0)[:, None] * live
+        col_touch = jnp.sum(pos_touch, axis=0)  # (I,)
+        # --- item table: dense pos-side matmul + B·M neg-row scatter ----
+        iv_j = params["iv"][j]  # (B, M, D)
+        ib_j = params["ib"][j]  # (B, M)
+        d_iv = pos_w.T @ uv_u + lam2 * col_touch[:, None] * params["iv"]
+        neg_vals = (-neg_w)[:, :, None] * uv_u[:, None, :] + (
+            lam2 * neg_touch[:, :, None] * iv_j
+        )
+        d_ib = jnp.sum(pos_w, axis=0) + lam2 * col_touch * params["ib"]
+        neg_bias = -neg_w + lam2 * neg_touch * ib_j
+        sm = cfg.scatter_mode
+        C = neg_vals.shape[-1]
+        d_iv = d_iv + scatter_add_rows(
+            jnp.zeros_like(d_iv), j.reshape(-1), neg_vals.reshape(-1, C),
+            mode=sm,
+        )
+        d_ib = d_ib + scatter_add_rows(
+            jnp.zeros_like(d_ib), j.reshape(-1), neg_bias.reshape(-1),
+            mode=sm,
+        )
+        grads = {"iv": d_iv}
+        if cfg.using_bias_term:
+            grads["ib"] = d_ib
+        # --- user rows: dense matmuls both sides (pre-update iv, like the
+        # reference's compute-all-grads-then-update per pair) -------------
+        d_uv = (
+            pos_w @ params["iv"]
+            - jnp.einsum("bm,bmd->bd", neg_w, iv_j)
+            + lam2 * (w_user * nn)[:, None] * L_u[:, None] * uv_u
+        )
+        params = _adagrad_apply(params, grads, cfg)
+        return _dense_row_apply(params, {"uv": d_uv}, uids, w_user, cfg)
 
 
 class WARP(_MFBase):

@@ -57,6 +57,9 @@ def main():
                          " crashes the TPU worker)")
     ap.add_argument("--fast_rng", action="store_true",
                     help="TPU hardware PRNG for sampling (MFConfig.fast_rng)")
+    ap.add_argument("--shared_neg", type=int, default=32,
+                    help="BPR dense slab: shared negative draws per user "
+                         "(MFConfig.num_shared_neg)")
     ap.add_argument("--no_bucket", action="store_true",
                     help="FISM: disable length-bucketed batches")
     args = ap.parse_args()
@@ -85,6 +88,7 @@ def main():
                 epoch_chunk=args.chunk,
                 row_update=True if args.row_update else None,
                 fast_rng=True if args.fast_rng else None,
+                num_shared_neg=args.shared_neg,
             )
             if name == "BPR":
                 cfg = cfg.__class__(**{**cfg.__dict__, "loss": "LOG"})

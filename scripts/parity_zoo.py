@@ -80,6 +80,12 @@ def main() -> int:
             if method == "BPR":
                 return BPR(MFConfig(loss="LOG", beta=1.0, lambda_=0.01,
                                     **mf_kw))
+            if method == "BPR_DENSE":
+                # per-user dense slab w/ shared negatives (BPR._dense_step):
+                # slab cadence trades AdaGrad steps for MXU throughput, so
+                # the cell trains 3x epochs (documented like NegMF dense)
+                return BPR(MFConfig(loss="LOG", beta=1.0, lambda_=0.01,
+                                    dense_mode=True, **mf_kw))
             if method == "WARP":  # ref warp.hpp:16 (lambda .1, no beta)
                 return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
                                      **mf_kw))
@@ -274,8 +280,9 @@ def main() -> int:
                 results[method] = sim_cell(method)
                 ok = ok and results[method]["parity"]
                 continue
+            oracle = "BPR" if method == "BPR_DENSE" else method
             out = subprocess.run(
-                [exe, "parity_mf", method, tr_path, te_path,
+                [exe, "parity_mf", oracle, tr_path, te_path,
                  str(args.iters), str(args.dim), str(args.num_neg),
                  str(args.lr)],
                 check=True, capture_output=True, text=True,
@@ -286,7 +293,8 @@ def main() -> int:
             model = build(method)
             solver_state = model.reset(train, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
-            for _ in range(args.iters):
+            tpu_iters = 3 * args.iters if method == "BPR_DENSE" else args.iters
+            for _ in range(tpu_iters):
                 key, sub = jax.random.split(key)
                 solver_state = model.train_one_iteration(solver_state, sub)
             ours = Evaluation.create("TOPN").evaluate(

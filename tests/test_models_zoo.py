@@ -124,6 +124,20 @@ def test_bpr_beats_initial(splits):
     assert hist[-1]["R@10"] > hist[0]["R@10"]
 
 
+def test_bpr_dense_slab_learns(splits):
+    """Per-user dense slab with shared negatives (BPR._dense_step): learns,
+    and lands in the same recall ballpark as the sparse pair path (the
+    metric-parity cell vs the C++ oracle lives in scripts/parity_zoo.py
+    --models BPR_DENSE; delta -0.012 recorded in BASELINE.md)."""
+    dense = BPR(MFConfig(num_dim=10, num_neg=5, loss="LOG", batch_size=64,
+                         dense_mode=True, num_shared_neg=32))
+    hist = _topn(dense, splits, iters=15)
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+    sparse = _topn(BPR(MFConfig(num_dim=10, num_neg=5, loss="LOG",
+                                batch_size=64)), splits, iters=10)
+    assert hist[-1]["R@10"] > 0.5 * sparse[-1]["R@10"]
+
+
 @pytest.mark.parametrize("cls", [ALS, WRMF])
 def test_als_family_learns(splits, cls):
     train, test = splits
