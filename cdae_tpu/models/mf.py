@@ -107,6 +107,15 @@ class MFConfig:
     # of the XLA (B, I) scores/cumsum/bisection chain. Distribution-
     # identical (uniform over violators); trajectories differ by RNG
     # stream. None = auto (on when running on TPU).
+    warp_pool: Optional[int] = None  # WARP only: pooled candidate
+    # negatives — per step draw ONE shared pool of P uniform item ids,
+    # score it with a single (B,D)x(D,P) matmul, and run the closed-form
+    # rejection process against POOL violators (p̂ = pool violator
+    # fraction among unrated pool entries; selection uniform over pool
+    # violators). O(B·P·nn) per step instead of the violator kernel's
+    # O(B·I·nn): the estimator of the reference's process under pool
+    # sampling variance (same construction as CDAEConfig.neg_pool).
+    # None = off (kernel/XLA dense path).
     gather_mode: str = "auto"  # auto|native|mxu — how the per-instance
     # factor rows are READ from the tables. "mxu" packs G=128//D rows per
     # lane group and gathers via a VMEM one-hot contraction
@@ -954,6 +963,8 @@ class WARP(_MFBase):
     """
 
     name = "WARP"
+    dense_capable = True
+    dense_auto = False  # slab cadence is a measured trade — opt-in
 
     def __init__(self, config: Optional[MFConfig] = None, **kw):
         if config is None:
@@ -961,6 +972,110 @@ class WARP(_MFBase):
             kw.setdefault("beta", 0.0)
             kw.setdefault("lambda_", 0.1)
         super().__init__(config, **kw)
+
+    @staticmethod
+    def _dense_step(params, R, ratings, uids, weight, key, *, cfg, loss):
+        """Per-user dense slab with pooled violators (dense_mode=True).
+
+        Restructures the reference's per-(positive, slot) rejection loop
+        (warp.hpp:63-117) the way BPR._dense_step restructures BPR:
+        - ONE (B,D)x(D,I) MXU matmul scores every candidate positive;
+        - a shared pool of P=warp_pool uniform ids stands in for the
+          complement draws (CDAE neg_pool construction);
+        - per positive, the try count cnt ~ Geometric(p̂) with p̂ the
+          pool violator fraction (closed form of the rejection process),
+          sampled nn times -> rank weights l[items_left/cnt];
+        - the sampled uniform violator is RAO-BLACKWELLIZED: instead of
+          picking one violator per slot, every pool violator receives the
+          slot's update at weight 1/nviol — expectation-identical (the
+          selection is uniform and the rank weight is independent of
+          which violator is drawn), strictly lower variance, and the
+          selection argmax disappears into the same fused (B, I, P)
+          reduction that counts violators.
+        All pos-side aggregation is dense matmuls; only the P pool rows
+        scatter. ub/ib never update (ref warp.hpp:90-117)."""
+        dt = params["uv"].dtype
+        I = params["iv"].shape[0]
+        B = uids.shape[0]
+        nn = max(cfg.num_neg, 1)
+        T = max(cfg.num_tries, 1)
+        P = int(cfg.warp_pool or 256)
+        lam2 = 2.0 * cfg.lambda_
+        w_user = weight.astype(dt)
+        rows01 = R[uids].astype(dt)  # (B, I) 0/1
+        rows = rows01 * w_user[:, None]
+        uv_u = params["uv"][uids]  # (B, D)
+        S = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
+        k_pool, k_cnt = jax.random.split(key)
+        if cfg.fast_rng:
+            pool = sampling.hw_randint(k_pool, (1, P), I, salt=0x90A7)[0]
+        else:
+            pool = jax.random.randint(k_pool, (P,), 0, I, dtype=jnp.int32)
+        S_p = jnp.take(S, pool, axis=1)  # (B, P)
+        unrated_p = (
+            (jnp.take(rows01, pool, axis=1) == 0).astype(dt)
+            * w_user[:, None]
+        )  # (B, P)
+        pool_live = jnp.sum(unrated_p, axis=1)  # (B,)
+        # fused (B, I, P) violation cube: pool score beats the candidate
+        # positive's margin threshold (never materialized in HBM)
+        viol = (
+            (S_p[:, None, :] > (S[:, :, None] - 1.0))
+            & (unrated_p[:, None, :] > 0)
+        )
+        nv = jnp.sum(viol.astype(jnp.float32), axis=2)  # (B, I)
+        p_hat = nv / jnp.maximum(pool_live, 1.0)[:, None]
+        # rank weights in CLOSED FORM: the reference draws cnt ~ tries to
+        # first violator (≤ T) and weights by l[items_left/cnt]
+        # (warp.hpp:70-88). cnt is independent of WHICH violator is drawn,
+        # so it Rao-Blackwellizes like the selection: replace the sampled
+        # cnt by its expectation under the truncated Geometric(p̂) —
+        #   rwsum = nn·Σ_{c=1..T} p̂(1−p̂)^{c−1} · l[items_left//c]
+        #   ftot  = nn·(1−(1−p̂)^T)          (pairs that find a violator)
+        # — no per-(u,i,slot) RNG and, critically, no (B,I,nn) harmonic-
+        # table gather (9.5M serialized element gathers/slab, measured
+        # 90 ms/slab before this form).
+        L_u = jnp.sum(rows, axis=1)
+        items_left = jnp.maximum(I - L_u.astype(jnp.int32), 1)  # (B,)
+        l_tab = _warp_harmonic(I)
+        c_grid = jnp.arange(1, T + 1, dtype=jnp.int32)  # (T,)
+        lw = l_tab[jnp.clip(items_left[:, None] // c_grid[None, :],
+                            0, I - 1)]  # (B, T)
+        log1mp = jnp.log1p(-jnp.clip(p_hat, 0.0, 1.0 - 1e-7))  # (B, I)
+        pow_c = jnp.exp(
+            log1mp[:, :, None] * (c_grid - 1).astype(jnp.float32)
+        )  # (B, I, T) = (1−p̂)^{c−1}, fused
+        rwsum = nn * p_hat * jnp.einsum("bit,bt->bi", pow_c, lw)
+        ftot = (nn * (1.0 - jnp.exp(
+            jnp.float32(T) * log1mp
+        ))).astype(dt)  # (B, I)
+        coef = rows * rwsum / jnp.maximum(nv, 1.0)  # (B, I)
+        # pair grads: g = loss'(s_i − s_p, 1) on violators (HINGE: g = −1)
+        g = loss.gradient(S[:, :, None] - S_p[:, None, :], 1.0) * viol
+        pos_w = coef * jnp.sum(g, axis=2)  # (B, I) Σ_p over violators
+        n_w = jnp.sum(coef[:, :, None] * g, axis=1)  # (B, P) Σ_i
+        n_touch = jnp.sum(
+            (rows * ftot / jnp.maximum(nv, 1.0))[:, :, None] * viol, axis=1
+        )  # (B, P) per-pool-slot λ-touch mass
+        pos_touch = rows * ftot  # (B, I)
+        col_touch = jnp.sum(pos_touch, axis=0)  # (I,)
+        iv_pool = params["iv"][pool]  # (P, D)
+        d_iv = pos_w.T @ uv_u + lam2 * col_touch[:, None] * params["iv"]
+        pool_vals = (
+            -(n_w.T @ uv_u)
+            + lam2 * jnp.sum(n_touch, axis=0)[:, None] * iv_pool
+        )  # (P, D)
+        d_iv = d_iv + scatter_add_rows(
+            jnp.zeros_like(d_iv), pool, pool_vals, mode=cfg.scatter_mode
+        )
+        pairtot = jnp.sum(pos_touch, axis=1)  # (B,)
+        d_uv = (
+            pos_w @ params["iv"]
+            - n_w @ iv_pool
+            + lam2 * pairtot[:, None] * uv_u
+        )
+        params = _adagrad_apply(params, {"iv": d_iv}, cfg)
+        return _dense_row_apply(params, {"uv": d_uv}, uids, w_user, cfg)
 
     def _epoch_extras(self, state: ModelState) -> tuple:
         U, I = state.num_users, state.num_items
@@ -981,11 +1096,80 @@ class WARP(_MFBase):
     @staticmethod
     def _step(params, u, i, r, w, rated, lengths, key, *extras, cfg, loss):
         if extras:
+            if cfg.warp_pool:
+                return WARP._pool_path(
+                    params, u, i, w, lengths, key, extras[0],
+                    cfg=cfg, loss=loss,
+                )
             return WARP._dense_path(
                 params, u, i, w, lengths, key, extras[0], cfg=cfg, loss=loss
             )
         return WARP._scan_path(
             params, u, i, w, rated, lengths, key, cfg=cfg, loss=loss
+        )
+
+    @staticmethod
+    def _pool_path(params, u, i, w, lengths, key, mask_rows, *, cfg, loss):
+        """Pooled-candidate rejection process (MFConfig.warp_pool).
+
+        The reference draws complement candidates one at a time until the
+        first violator (warp.hpp:63-88). Here each step draws ONE shared
+        pool of P uniform item ids; the per-instance try stream is modeled
+        against pool violators: cnt ~ Geometric(p̂) with p̂ the violator
+        fraction among the instance's unrated pool entries, and j uniform
+        over the instance's pool violators (argmax-of-iid-noise). Exact in
+        the P→I limit; at P≪I it adds pool sampling variance (metric
+        parity gated like CDAE's neg_pool)."""
+        I = params["iv"].shape[0]
+        B = u.shape[0]
+        nn = max(cfg.num_neg, 1)
+        T = max(cfg.num_tries, 1)
+        P = int(cfg.warp_pool)
+        uv_u = params["uv"][u]  # (B, D)
+        yui = params["ib"][i] + jnp.sum(uv_u * params["iv"][i], -1)
+        k_pool, k_cnt, k_sel = jax.random.split(key, 3)
+        if cfg.fast_rng:
+            pool = sampling.hw_randint(k_pool, (1, P), I, salt=0x90A7)[0]
+        else:
+            pool = jax.random.randint(k_pool, (P,), 0, I, dtype=jnp.int32)
+        s_pool = (
+            uv_u @ params["iv"][pool].T + params["ib"][pool][None, :]
+        )  # (B, P)
+        unrated = jnp.take(mask_rows, pool, axis=1) == 0  # (B, P)
+        viol = (s_pool > (yui[:, None] - 1.0)) & unrated
+        nv = jnp.sum(viol.astype(jnp.int32), axis=1)  # (B,)
+        pool_live = jnp.sum(unrated.astype(jnp.int32), axis=1)
+        p = nv.astype(jnp.float32) / jnp.maximum(
+            pool_live.astype(jnp.float32), 1.0
+        )
+        if cfg.fast_rng:
+            from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+            u1 = jnp.maximum(
+                hw_uniform(sampling.key_seed(k_cnt), (B, nn)), 1e-7
+            )
+            noise = hw_uniform(
+                sampling.key_seed(k_sel), (B, nn * P)
+            ).reshape(B, nn, P)
+        else:
+            u1 = jax.random.uniform(k_cnt, (B, nn), minval=1e-7, maxval=1.0)
+            noise = jax.random.uniform(k_sel, (B, nn, P))
+        log1mp = jnp.log1p(-jnp.clip(p, 0.0, 1.0 - 1e-7))[:, None]
+        cnt = 1 + jnp.floor(jnp.log(u1) / jnp.minimum(log1mp, -1e-12))
+        cnt = cnt.astype(jnp.int32)
+        found = (nv[:, None] > 0) & (cnt <= T)
+        cnt = jnp.clip(cnt, 1, T)
+        # per-slot uniform pool violator via argmax of iid noise
+        masked = jnp.where(viol[:, None, :], noise, -1.0)  # (B, nn, P)
+        sel = jnp.argmax(masked, axis=2).astype(jnp.int32)  # (B, nn)
+        j = pool[sel]  # (B, nn)
+        items_left = jnp.maximum(I - lengths, 1)
+        l_tab = _warp_harmonic(I)
+        rw = l_tab[jnp.clip(items_left[:, None] // cnt, 0, I - 1)]
+        pair_w = w[:, None] * found
+        return _pairwise_apply(
+            params, u, i, j, pair_w, cfg, loss, rank_weight=rw,
+            update_bias=False,
         )
 
     @staticmethod

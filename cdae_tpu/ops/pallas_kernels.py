@@ -471,8 +471,13 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
 
     noise: "hw" — TPU hardware PRNG, 1 op/elem (deterministic per
     (seed, slot, grid position), so selections depend on the tiling);
-    "hash" — murmur-style mix of global (row, col, slot), ~9 ops/elem,
-    tiling-invariant and available in interpret mode."""
+    "hash" — murmur-style mix of global (row, col, slot), ~9 ops/elem
+    PER SLOT, tiling-invariant and available in interpret mode;
+    "mshift" (default) — ONE murmur mix of global (row, col) shared by
+    all slots, then a 2-op multiply-shift per slot (x·A_k >> 8, a
+    universal hash family over the mixed base) — tiling-invariant like
+    "hash" at ~nn·10 fewer VPU ops/elem (the selection passes were the
+    measured bulk of the kernel: 2.0 of 3.79 ms/step at bs8192)."""
     ij = pl.program_id(1)
     bi = pl.program_id(0)
     B_blk = uv_ref.shape[0]
@@ -497,15 +502,30 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
     viol = (scores > thr_ref[:]) & (mask_ref[:].astype(jnp.float32) == 0.0)
     nviol_ref[:] += jnp.sum(viol.astype(jnp.int32), axis=1, keepdims=True)
 
-    if noise == "hash":
+    sr = jax.lax.shift_right_logical
+    if noise in ("hash", "mshift"):
         cols = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 1) + (
             ij * block_i
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, (B_blk, block_i), 0) + (
             bi * B_blk
         )
+    if noise == "mshift":
+        base = seed_ref[0] + cols * C1 + rows * C2
+        base = base ^ sr(base, 16)
+        base = base * M1
+        base = base ^ sr(base, 13)
+        base = base * M2
+        base = base ^ sr(base, 16)
+        # second independent base: slot noise a_k·base + b_k·base2 is a
+        # pairwise-independent family — kills the cross-slot correlation
+        # a single shared base showed (pooled-slot chi2 350-411 vs dof
+        # 255; with two bases it matches the full per-slot hash)
+        base2 = (base ^ jnp.int32(-1640531527)) * M2
+        base2 = base2 ^ sr(base2, 15)
+        base2 = base2 * M1
+        base2 = base2 ^ sr(base2, 17)
     cols_k = jax.lax.broadcasted_iota(jnp.int32, bval_ref.shape, 1)
-    sr = jax.lax.shift_right_logical
     for k in range(nn):  # static, small
         if noise == "hw":
             # prng_seed takes at most 2 words and combines them ~additively
@@ -515,6 +535,16 @@ def _warp_select_kernel(seed_ref, thr_ref, uv_ref, iv_ref, ib_ref, mask_ref,
                     ) * jnp.int32(2654435761 - (1 << 32))
             pltpu.prng_seed(seed_ref[0], comb)
             x = pltpu.prng_random_bits((B_blk, block_i))
+        elif noise == "mshift":
+            # per-slot odd multipliers; high product bits are the
+            # well-mixed ones (multiply-shift universal hashing)
+            def _odd(c):
+                v = c & 0xFFFFFFFF | 1
+                return jnp.int32(v - (1 << 32) if v >= 1 << 31 else v)
+
+            a_k = _odd(0x9E3779B1 * (2 * k + 1))
+            b_k = _odd(0x85EBCA77 * (2 * k + 3))
+            x = sr(base * a_k + base2 * b_k, 8)
         else:
             x = seed_ref[0] + cols * C1 + rows * C2 + jnp.int32(k) * K1
             x = x ^ sr(x, 16)
@@ -578,11 +608,12 @@ def warp_violator_select(
     maskp = jnp.pad(mask_rows.astype(jnp.int8), ((0, Bp - B), (0, Ipad - I)),
                     constant_values=jnp.int8(1))
     if noise is None:
-        # "hw" measured NO end-to-end gain over the hash (16.9k vs 17.6k
-        # users/s at bs8192 — the per-slot select/reduce passes dominate,
-        # not noise generation) and its 2-word prng_seed aliases nearby
-        # streams; the hash is tiling-invariant and chi-square-clean.
-        noise = "hash"
+        # "mshift": one murmur mix shared by all slots + 2-op multiply-
+        # shift per slot — tiling-invariant like "hash" at a fraction of
+        # the per-slot VPU cost. ("hw" measured NO end-to-end gain over
+        # the hash — 16.9k vs 17.6k users/s at bs8192 — and its 2-word
+        # prng_seed aliases nearby streams.)
+        noise = "mshift"
     kernel = functools.partial(_warp_select_kernel, nn=nn, block_i=block_i,
                                noise=noise)
     grid = (Bp // block_b, Ipad // block_i)

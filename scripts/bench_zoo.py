@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--shared_neg", type=int, default=32,
                     help="BPR dense slab: shared negative draws per user "
                          "(MFConfig.num_shared_neg)")
+    ap.add_argument("--warp_pool", type=int, default=None,
+                    help="WARP: pooled candidate negatives of this size "
+                         "(MFConfig.warp_pool)")
     ap.add_argument("--no_bucket", action="store_true",
                     help="FISM: disable length-bucketed batches")
     args = ap.parse_args()
@@ -89,6 +92,7 @@ def main():
                 row_update=True if args.row_update else None,
                 fast_rng=True if args.fast_rng else None,
                 num_shared_neg=args.shared_neg,
+                warp_pool=args.warp_pool,
             )
             if name == "BPR":
                 cfg = cfg.__class__(**{**cfg.__dict__, "loss": "LOG"})

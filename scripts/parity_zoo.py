@@ -89,6 +89,12 @@ def main() -> int:
             if method == "WARP":  # ref warp.hpp:16 (lambda .1, no beta)
                 return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
                                      **mf_kw))
+            if method == "WARP_DENSE":
+                # per-user dense slab: pooled violators + Rao-Blackwellized
+                # selection/rank weights; 3x epochs like the other slab cells
+                return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
+                                     dense_mode=True, warp_pool=256,
+                                     **mf_kw))
             if method == "FISM":
                 return FISM(FISMConfig(
                     learn_rate=args.lr, num_dim=args.dim,
@@ -280,7 +286,9 @@ def main() -> int:
                 results[method] = sim_cell(method)
                 ok = ok and results[method]["parity"]
                 continue
-            oracle = "BPR" if method == "BPR_DENSE" else method
+            oracle = {"BPR_DENSE": "BPR", "WARP_DENSE": "WARP"}.get(
+                method, method
+            )
             out = subprocess.run(
                 [exe, "parity_mf", oracle, tr_path, te_path,
                  str(args.iters), str(args.dim), str(args.num_neg),
@@ -293,7 +301,9 @@ def main() -> int:
             model = build(method)
             solver_state = model.reset(train, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
-            tpu_iters = 3 * args.iters if method == "BPR_DENSE" else args.iters
+            tpu_iters = (3 * args.iters
+                         if method in ("BPR_DENSE", "WARP_DENSE")
+                         else args.iters)
             for _ in range(tpu_iters):
                 key, sub = jax.random.split(key)
                 solver_state = model.train_one_iteration(solver_state, sub)

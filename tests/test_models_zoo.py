@@ -124,6 +124,30 @@ def test_bpr_beats_initial(splits):
     assert hist[-1]["R@10"] > hist[0]["R@10"]
 
 
+def test_warp_dense_slab_learns(splits):
+    """Per-user dense slab with pooled violators + Rao-Blackwellized
+    rank weights (WARP._dense_step): learns toward the sparse path's
+    recall (oracle parity cell: scripts/parity_zoo.py --models
+    WARP_DENSE)."""
+    dense = WARP(MFConfig(num_dim=10, num_neg=5, loss="HINGE", beta=0.0,
+                          lambda_=0.1, batch_size=64, dense_mode=True,
+                          warp_pool=128))
+    hist = _topn(dense, splits, iters=15)
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+    assert hist[-1]["R@10"] > 0.3
+
+
+def test_warp_pool_path_learns(splits):
+    """Pooled per-instance candidate path (MFConfig.warp_pool without
+    dense_mode): same closed-form rejection process against pool
+    violators."""
+    model = WARP(MFConfig(num_dim=10, num_neg=3, loss="HINGE", beta=0.0,
+                          lambda_=0.1, batch_size=64, warp_pool=128,
+                          use_pallas=False))
+    hist = _topn(model, splits, iters=10)
+    assert hist[-1]["R@10"] > hist[0]["R@10"]
+
+
 def test_bpr_dense_slab_learns(splits):
     """Per-user dense slab with shared negatives (BPR._dense_step): learns,
     and lands in the same recall ballpark as the sparse pair path (the
