@@ -95,6 +95,17 @@ class CDAEConfig:
     # metric parity). None = auto when both fit HBM: dense_R int8 storage
     # (U*I <= 1.5e9 cells) AND per-batch f32 slab temps
     # (batch_size*I*40 bytes <= 4e9).
+    fused_step: Optional[bool] = None  # dense mode: run the WHOLE step
+    # (corrupt→encode→decode→grads→AdaGrad) as ONE Pallas kernel
+    # (ops/cdae_fused.py) whose only slab-sized HBM traffic is 3 int8
+    # reads of the interaction rows; random masks regenerate per catalog
+    # tile from the hw PRNG (own stream — metric-parity gated like
+    # fast_rng, not bitwise vs the XLA step). MEASURED NEGATIVE as a
+    # default (see _use_fused_step): the step is VPU-bound, not HBM-
+    # bound, and 3-phase regeneration ~2.5x's the elementwise work
+    # (canonical bench -21%, config-4 D=200 +4.8%). None/False = XLA
+    # dense step; True = the kernel (supported surface: tied decoder, no
+    # Uu gate, f32; interpret-mode hash noise on CPU — test-only).
     neg_pool: Optional[int] = None  # sparse-path pooled negatives (huge
     # catalogs where dense_mode's (B, I) slab cannot exist): draw ONE pool
     # of K uniform item ids per batch and Bernoulli-select per user with
@@ -278,17 +289,11 @@ class CDAE(RecsysModel):
         cfg = self.cfg
         params = state.params
         if "dense_R" in state.aux:
-            R = state.aux["dense_R"]
-            uid_mat, w_mat = self._dense_batches(state)
-            for j in range(uid_mat.shape[0]):
-                for c in range(cfg.num_corruptions):
-                    rng_key, sub = jax.random.split(rng_key)
-                    params = self._dense_step(
-                        params, R, uid_mat[j], w_mat[j], sub
-                    )
-            state.params = params
-            state.step += 1
-            return state
+            # one fused device program per epoch (the per-slab dispatch
+            # loop paid ~1.5 ms tunnel latency per batch — dominant at
+            # ML-1M slab counts); same math as the old loop up to RNG
+            # stream layout (train_epochs' scan key schedule)
+            return self.train_epochs(state, 1, rng_key)
         for uids, items, mask, lengths, weight in self._device_batches(state):
             for c in range(cfg.num_corruptions):
                 rng_key, sub = jax.random.split(rng_key)
@@ -798,6 +803,82 @@ def _train_step(
     return params
 
 
+def _fused_step_supported(cfg: CDAEConfig) -> bool:
+    """Static support surface of ops/cdae_fused.cdae_dense_step_fused."""
+    import numpy as _np
+
+    return (
+        not cfg.asymmetric
+        and not cfg.linear_function
+        and _np.dtype(_cdt(cfg)) == _np.dtype(_np.float32)
+        and _np.dtype(cfg.dtype) == _np.dtype(_np.float32)
+    )
+
+
+def _use_fused_step(cfg: CDAEConfig) -> bool:
+    # MEASURED NEGATIVE as a default (2026-08-19, within the production
+    # fused-epoch program, forced-readback): canonical ML-1M/D=50 bench
+    # 5.22M vs 6.61M users/s (the step is VPU-bound and the kernel's
+    # 3-phase mask regeneration does ~2.5x the elementwise work);
+    # config-4 50k x 20k / D=200: 716k vs 683k (+4.8%). XLA pipelines the
+    # slab HBM traffic better than the traffic accounting suggested, so
+    # the kernel stays OPT-IN (fused_step=True) for wide-D experiments.
+    if cfg.fused_step is not None:
+        return cfg.fused_step and _fused_step_supported(cfg)
+    return False
+
+
+def _dense_train_step_fused(params, dense_R, uids, weight, key, *,
+                            cfg: CDAEConfig, loss: Loss):
+    """Fused-kernel dense step (see ops/cdae_fused.py). Same update math
+    as _dense_train_step below; the random masks come from the kernel's
+    own PRNG stream (metric parity gated, like fast_rng)."""
+    from cdae_tpu.ops import sampling
+    from cdae_tpu.ops.cdae_fused import cdae_dense_step_fused
+
+    I = params["W"].shape[0]
+    lam, lr, beta = cfg.lambda_, cfg.learn_rate, cfg.beta
+    rows_int8 = dense_R[uids]  # (B, I)
+    w_user = weight.astype(jnp.float32)
+    lengths = jnp.sum(
+        rows_int8.astype(jnp.int32), axis=1, dtype=jnp.int32
+    ).astype(jnp.float32) * w_user
+    p_neg = jnp.clip(
+        cfg.num_neg * lengths / jnp.maximum(I - lengths, 1.0), 0.0, 1.0
+    )
+    h_bias = jnp.broadcast_to(
+        params["b"][None, :], (uids.shape[0], params["b"].shape[0])
+    )
+    if cfg.user_factor:
+        h_bias = h_bias + params["Wu"][uids]
+    act = "linear" if cfg.linear else ("tanh" if cfg.tanh else "sigmoid")
+    w_new, wag_new, bp_new, bpag_new, hg = cdae_dense_step_fused(
+        sampling.key_seed(key), rows_int8, w_user, p_neg, h_bias,
+        params["W"], params["W_ag"], params["b_prime"],
+        params["b_prime_ag"],
+        q=cfg.corruption_ratio,
+        scale=corruption.input_scale(cfg.corruption_ratio, cfg.scaled),
+        lam=lam, lr=lr, beta=beta, use_ada=cfg.using_adagrad, act=act,
+        loss_name=cfg.loss,
+    )
+    params = dict(params)
+    params["W"], params["W_ag"] = w_new, wag_new
+    params["b_prime"], params["b_prime_ag"] = bp_new, bpag_new
+    # small per-user/per-dim updates from the returned hidden grad —
+    # identical to the XLA step's tail (d_b, Wu rows)
+    d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
+    params["b"], params["b_ag"] = dense_adagrad_step(
+        params["b"], params["b_ag"], d_b, lr, beta, cfg.using_adagrad,
+    )
+    if cfg.user_factor:
+        params["Wu"], params["Wu_ag"] = row_adagrad_delta(
+            params["Wu"], params["Wu_ag"], uids,
+            (hg + lam * params["Wu"][uids]) * w_user[:, None],
+            w_user[:, None] > 0, lr, beta, cfg.using_adagrad,
+        )
+    return params
+
+
 def _dense_train_step(
     params: Dict[str, jnp.ndarray],
     dense_R: jnp.ndarray,  # (U, I) int8 interaction matrix
@@ -816,6 +897,9 @@ def _dense_train_step(
     sampling: per-item Bernoulli with expected count num_neg·|O_u| instead
     of num_neg·|O_u| uniform draws with replacement (validated for ranking
     metric parity)."""
+    if _use_fused_step(cfg):
+        return _dense_train_step_fused(params, dense_R, uids, weight, key,
+                                       cfg=cfg, loss=loss)
     I, D = params["W"].shape
     dt = params["W"].dtype
     cdt = _cdt(cfg)

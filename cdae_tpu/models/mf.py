@@ -296,6 +296,7 @@ class _MFBase(RecsysModel):
         self._jit_epoch = None  # built lazily (needs static num_batches)
         self._jit_epoch_ext = None  # chunked-epoch variant (epoch_chunk)
         self._epoch_ext_chunk = -1
+        self._jit_dense_epoch = None  # fused dense-slab epoch scan
 
     def reset(self, data: Interactions, seed: int = 0) -> ModelState:
         U, I = data.num_users, data.num_items
@@ -435,13 +436,30 @@ class _MFBase(RecsysModel):
             R = state.aux["dense_R"]
             ratings = state.aux.get("dense_ratings", R)
             uid_mat, w_mat = self._dense_user_batches(state)
-            params = state.params
-            for j in range(uid_mat.shape[0]):
-                rng_key, sub = jax.random.split(rng_key)
-                params = self._jit_dense_step(
-                    params, R, ratings, uid_mat[j], w_mat[j], sub
-                )
-            state.params = params
+            # fused dense epoch: ONE device program scans the user slabs
+            # (per-slab dispatch over the tunnel was the dominant cost at
+            # ML-1M scale — ~1.5 ms/dispatch x k slabs vs ms-scale slabs)
+            if self._jit_dense_epoch is None:
+                step = functools.partial(self._dense_step, cfg=self.cfg,
+                                         loss=self.loss)
+
+                def dense_epoch(params, R, ratings, uid_mat, w_mat, key):
+                    subs = jax.random.split(key, uid_mat.shape[0])
+
+                    def body(params, inp):
+                        uids, w, sub = inp
+                        return step(params, R, ratings, uids, w, sub), None
+
+                    params, _ = jax.lax.scan(
+                        body, params, (uid_mat, w_mat, subs)
+                    )
+                    return params
+
+                self._jit_dense_epoch = jax.jit(dense_epoch,
+                                                donate_argnums=(0,))
+            state.params = self._jit_dense_epoch(
+                state.params, R, ratings, uid_mat, w_mat, rng_key
+            )
             state.step += 1
             return state
         n = len(state.aux["coo"][0])

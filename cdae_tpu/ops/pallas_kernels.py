@@ -185,9 +185,14 @@ def hw_uniform(
     (jax.random.uniform was 60% of the dense train step). Deterministic per
     (seed, shape)."""
     rows, cols = shape
-    rb = min(rows_per_block, rows)
-    rows_p = _round_up(rows, rb)
     cols_p = _round_up(cols, 128)
+    # bound the (rb, cols_p) f32 output block to ~4 MB so wide draws
+    # (e.g. (B, 20k) negative masks) fit scoped VMEM with double buffering
+    rb_cap = max(8, (4 * 1024 * 1024 // 4) // cols_p)
+    rb = min(rows_per_block, rows, rb_cap)
+    if rb < rows:  # partial blocks must be sublane-aligned (8)
+        rb = max(8, rb // 8 * 8)
+    rows_p = _round_up(rows, rb)
     out = pl.pallas_call(
         _uniform_kernel,
         out_shape=jax.ShapeDtypeStruct((rows_p, cols_p), jnp.float32),
