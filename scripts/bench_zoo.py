@@ -123,18 +123,30 @@ def main():
             arr = next(p[k] for k in ("iv", "Q", "P", "V", "w") if k in p)
             return float(jnp.sum(arr))
 
-        # warmup (compile)
+        # warmup (compile) + single-epoch probe for the readback cadence
         key, sub = jax.random.split(key)
         state = model.train_one_iteration(state, sub)
         checksum(state)
+        tp = time.perf_counter()
+        key, sub = jax.random.split(key)
+        state = model.train_one_iteration(state, sub)
+        checksum(state)
+        ep_probe = time.perf_counter() - tp
+        # the tunnel's readback RTT (~30 ms) taxes every checksum; for
+        # fast epochs amortize it over a chunk of queued epochs (the
+        # queue stays far under the 60 s device-program tolerance — the
+        # chunk is sized to ~0.5 s of device time), with a forced
+        # readback per chunk so dispatches can't pile up unboundedly
+        chunk = max(1, min(20, int(0.5 / max(ep_probe, 1e-3))))
 
         t0 = time.perf_counter()
         epochs = 0
-        while time.perf_counter() - t0 < args.seconds and epochs < 500:
-            key, sub = jax.random.split(key)
-            state = model.train_one_iteration(state, sub)
-            checksum(state)  # forced readback: async dispatch can't pile up
-            epochs += 1
+        while time.perf_counter() - t0 < args.seconds and epochs < 1000:
+            for _ in range(chunk):
+                key, sub = jax.random.split(key)
+                state = model.train_one_iteration(state, sub)
+            checksum(state)  # forced readback per chunk
+            epochs += chunk
         dt = time.perf_counter() - t0
         print(json.dumps({
             "model": name, "users_per_sec": round(args.users * epochs / dt, 1),
