@@ -29,12 +29,15 @@ import time
 
 import numpy as np
 
-# measured via csrc/baseline_cdae.cpp on this container's CPU (2026-08-16):
-# {"users_per_sec": 3219.38, U=6040, I=3706, deg=160, dim=50}
-BASELINE_USERS_PER_SEC = 3219.0
+# measured via csrc/baseline_cdae.cpp on this container's CPU (2026-08-19):
+# {"users_per_sec": 4021.23, U=6040, I=3706, deg=160, dim=50}
+# (the 2026-08-16 container measured 3219.38 on a 2.60GHz part; this
+# 2.10GHz part is ~25% faster per core — re-measured per VERDICT r1
+# weak #8, conservatively LOWERING vs_baseline)
+BASELINE_USERS_PER_SEC = 4021.0
 # the CPU the constant was measured on — if the container migrates to a
 # different part, the frozen baseline silently skews vs_baseline, so warn
-BASELINE_CPU_MODEL = "Intel(R) Xeon(R) Processor @ 2.60GHz"
+BASELINE_CPU_MODEL = "Intel(R) Xeon(R) Processor @ 2.10GHz"
 
 
 def _cpu_model() -> str:
@@ -165,12 +168,14 @@ def main():
 
         t0 = time.perf_counter()
         epochs = 0
-        chunk = max(min_epochs, 10)
+        chunk = max(min_epochs, 30)  # one ~27 ms device program per chunk;
+        # the tunnel readback RTT amortizes to noise (10-epoch chunks
+        # measured 6.61M, 60-epoch 6.79M users/s)
         while epochs < min_epochs or time.perf_counter() - t0 < budget_s:
             key, sub = jax.random.split(key)
             state = run(state, chunk, sub)
             epochs += chunk
-            if epochs >= 200:
+            if epochs >= 600:
                 break
         checksum(state)
         return U * epochs / (time.perf_counter() - t0)
