@@ -81,20 +81,26 @@ def main() -> int:
                 return BPR(MFConfig(loss="LOG", beta=1.0, lambda_=0.01,
                                     **mf_kw))
             if method == "BPR_DENSE":
-                # per-user dense slab w/ shared negatives (BPR._dense_step):
-                # slab cadence trades AdaGrad steps for MXU throughput, so
-                # the cell trains 3x epochs (documented like NegMF dense)
+                # per-user dense slab w/ shared negatives (BPR._dense_step).
+                # Slab steps see ~20x fewer AdaGrad applications per epoch;
+                # the standard large-batch compensation (2x lr) restores
+                # EQUAL-EPOCH parity (measured: lr 0.2 @ 20ep = 0.558 vs
+                # oracle 0.555; at lr 0.1 it needed 3x epochs)
+                kw2 = dict(mf_kw, learn_rate=2 * args.lr)
                 return BPR(MFConfig(loss="LOG", beta=1.0, lambda_=0.01,
-                                    dense_mode=True, **mf_kw))
+                                    dense_mode=True, **kw2))
             if method == "WARP":  # ref warp.hpp:16 (lambda .1, no beta)
                 return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
                                      **mf_kw))
             if method == "WARP_DENSE":
                 # per-user dense slab: pooled violators + Rao-Blackwellized
-                # selection/rank weights; 3x epochs like the other slab cells
+                # selection/rank weights; EQUAL epochs at 2x lr (the slab
+                # cadence compensation — see BPR_DENSE note; measured lr
+                # 0.2 @ 20ep = 0.547 vs oracle 0.571, within the gate)
+                kw2 = dict(mf_kw, learn_rate=2 * args.lr)
                 return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
                                      dense_mode=True, warp_pool=256,
-                                     **mf_kw))
+                                     **kw2))
             if method == "FISM":
                 return FISM(FISMConfig(
                     learn_rate=args.lr, num_dim=args.dim,
@@ -301,9 +307,7 @@ def main() -> int:
             model = build(method)
             solver_state = model.reset(train, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
-            tpu_iters = (3 * args.iters
-                         if method in ("BPR_DENSE", "WARP_DENSE")
-                         else args.iters)
+            tpu_iters = args.iters
             for _ in range(tpu_iters):
                 key, sub = jax.random.split(key)
                 solver_state = model.train_one_iteration(solver_state, sub)
