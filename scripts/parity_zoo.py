@@ -114,7 +114,39 @@ def main() -> int:
                 ))
             raise SystemExit(f"unknown model {method}")
 
-        def pmf_cell():
+        def negmf_dense_cell():
+            """NegMF dense slab at EQUAL epochs with the 2x-lr cadence
+            compensation (same construction as BPR_DENSE/WARP_DENSE)."""
+            out = subprocess.run(
+                [exe, "parity_mf", "NegMF", tr_path, te_path,
+                 str(args.iters), str(args.dim), str(args.num_neg),
+                 str(args.lr)],
+                check=True, capture_output=True, text=True,
+            ).stdout
+            cpp = json.loads(out)
+            print(f"# C++ NegMF: {cpp}", file=sys.stderr)
+            model = NegMF(FactorModelConfig(
+                learn_rate=2 * args.lr, num_dim=args.dim,
+                num_neg=args.num_neg, batch_size=args.batch, loss="LOG",
+                using_global_mean=False, dense_mode=True,
+            ))
+            st = model.reset(train, seed=args.seed)
+            key = jax.random.PRNGKey(args.seed)
+            for _ in range(args.iters):
+                key, sub = jax.random.split(key)
+                st = model.train_one_iteration(st, sub)
+            ours = Evaluation.create("TOPN").evaluate(model, st, test, train)
+            print(f"# TPU NegMF_DENSE: R@10={ours['R@10']:.5f}",
+                  file=sys.stderr)
+            delta = ours["R@10"] - cpp["recall_at_10"]
+            return {
+                "cpp_recall_at_10": cpp["recall_at_10"],
+                "tpu_recall_at_10": round(ours["R@10"], 5),
+                "delta": round(delta, 5),
+                "parity": bool(delta >= -args.tolerance),
+            }
+
+        def pmf_cell(dense: bool = False):
             """PMF (rating MF over observed entries, ref pmf.hpp:71-115):
             judged on test RMSE vs the sequential C++ oracle — the zoo's
             only rating-prediction model, so the cell also exercises the
@@ -138,11 +170,15 @@ def main() -> int:
             print(f"# C++ PMF: {cpp}", file=sys.stderr)
             # sparse fused epoch: small-minibatch AdaGrad + epoch shuffling
             # beats the oracle's fixed-order sequential pass (measured
-            # delta -0.156); auto-dense's user-slab steps under-train at
-            # equal epochs (+0.043, outside the gate) — pin sparse here
+            # delta -0.156). The dense user-slab path under-trains at
+            # equal epochs with the oracle's lr (+0.043, outside the
+            # gate); with the 2x-lr cadence compensation it BEATS the
+            # oracle at equal epochs (PMF_DENSE cell: 1.011 vs 1.238)
             model = PMF(MFConfig(loss="SQUARE", beta=1.0, lambda_=0.01,
-                                 learn_rate=args.lr, num_dim=args.dim,
-                                 batch_size=args.batch, dense_mode=False,
+                                 learn_rate=(2 * args.lr if dense
+                                             else args.lr),
+                                 num_dim=args.dim,
+                                 batch_size=args.batch, dense_mode=dense,
                                  scatter_mode=args.scatter))
             st = model.reset(rtrain, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
@@ -276,9 +312,13 @@ def main() -> int:
             }
 
         for method in args.models:
-            if method == "PMF":
-                results["PMF"] = pmf_cell()
-                ok = ok and results["PMF"]["parity"]
+            if method in ("PMF", "PMF_DENSE"):
+                results[method] = pmf_cell(dense=method == "PMF_DENSE")
+                ok = ok and results[method]["parity"]
+                continue
+            if method == "NEGMF_DENSE":
+                results[method] = negmf_dense_cell()
+                ok = ok and results[method]["parity"]
                 continue
             if method in ("LINEAR", "FM"):
                 results[method] = fm_cell(method)
