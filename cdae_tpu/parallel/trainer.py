@@ -221,10 +221,13 @@ class ShardedIMF(RecsysModel):
         ratings = state.aux.get("dense_ratings", R)
         uid_mat, w_mat = self._sharded_dense_batches(state)
         params = state.params
+        # pre-split per-slab keys: the SAME stream layout as the single-chip
+        # fused dense-epoch scan (models/mf._MFBase.train_one_iteration), so
+        # the trajectory-match test stays bitwise
+        subs = jax.random.split(rng_key, uid_mat.shape[0])
         for j in range(uid_mat.shape[0]):
-            rng_key, sub = jax.random.split(rng_key)
             params = self._dense_step(
-                params, R, ratings, uid_mat[j], w_mat[j], sub
+                params, R, ratings, uid_mat[j], w_mat[j], subs[j]
             )
         state.params = params
         state.step += 1
