@@ -89,7 +89,8 @@ def main():
     I = int(os.environ.get("BENCH_ITEMS", 3706))
     deg = int(os.environ.get("BENCH_DEG", 160))
     dim = int(os.environ.get("BENCH_DIM", 50))
-    batch = int(os.environ.get("BENCH_BATCH", 3072))
+    batch = int(os.environ.get("BENCH_BATCH", 1536))  # batch scan 2026-08-19:
+    # 768:7.02M 1024:7.07M 1536:7.69M 2048:7.19M 3072:7.38M 6144:4.92M
     min_epochs = int(os.environ.get("BENCH_EPOCHS", 3))
     budget_s = float(os.environ.get("BENCH_SECONDS", 30))
 
