@@ -251,3 +251,33 @@ def test_bpr_imf_row_update_train(splits):
                                  row_update=ru, dense_mode=False))
             res[ru] = _topn(model, splits, iters=5)[-1]["R@10"]
         assert abs(res[True] - res[False]) < 0.1, (cls.name, res)
+
+
+def test_fused_dense_epoch_matches_slab_loop(splits):
+    """The fused dense-epoch scan (one device program) is bitwise the same
+    update sequence as applying _dense_step per slab with the pre-split
+    keys — the sharded trainers rely on this stream layout
+    (parallel/trainer.ShardedIMF)."""
+    import functools
+
+    train, _ = splits
+    cfg = MFConfig(num_dim=6, num_neg=3, batch_size=16, dense_mode=True)
+    model = IMF(cfg)
+    st = model.reset(train, seed=3)
+    key = jax.random.PRNGKey(7)
+    # path A: model-driven fused epoch
+    stA = model.reset(train, seed=3)
+    stA = model.train_one_iteration(stA, key)
+    # path B: explicit per-slab loop with the same pre-split keys
+    stB = model.reset(train, seed=3)
+    R = stB.aux["dense_R"]
+    uid_mat, w_mat = model._dense_user_batches(stB)
+    step = jax.jit(functools.partial(IMF._dense_step, cfg=model.cfg,
+                                     loss=model.loss))
+    subs = jax.random.split(key, uid_mat.shape[0])
+    params = stB.params
+    for j in range(uid_mat.shape[0]):
+        params = step(dict(params), R, R, uid_mat[j], w_mat[j], subs[j])
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(stA.params[k]),
+                                      np.asarray(params[k]), err_msg=k)
