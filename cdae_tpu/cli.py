@@ -159,6 +159,10 @@ def build_model(args):
             loss=loss, num_dim=args.num_dim, num_neg=args.num_neg,
             using_bias_term=args.bias, using_adagrad=args.adagrad,
             batch_size=args.batch_size,
+            # --dense_mode true opts BPR/WARP into the per-user slab steps
+            # (pair with ~2x --learn_rate — see MFConfig/BASELINE.md)
+            dense_mode=(None if args.dense_mode == "auto"
+                        else _booly(args.dense_mode)),
         ))
     if method in ("ALS", "WRMF"):
         cls = M.ALS if method == "ALS" else M.WRMF
@@ -177,6 +181,8 @@ def build_model(args):
             lambda_=args.lambda_, loss=loss, num_dim=args.num_dim,
             num_neg=args.num_neg, using_adagrad=args.adagrad,
             learn_rate=args.learn_rate, batch_size=args.batch_size,
+            dense_mode=(None if args.dense_mode == "auto"
+                        else _booly(args.dense_mode)),
         ))
     if method in ("LINEAR", "FM"):
         if method == "LINEAR":
