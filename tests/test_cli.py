@@ -56,6 +56,21 @@ def test_cli_mf_method(tmp_path, movielens_path):
     assert rc == 0
 
 
+def test_cli_pairwise_dense_slab(tmp_path, movielens_path):
+    """--dense_mode true reaches the BPR/WARP per-user slab steps from the
+    CLI (paired with the 2x-lr cadence compensation, see BASELINE.md)."""
+    cache = str(tmp_path / "ml.bin")
+    main(["--task", "prepare", "--input_file", movielens_path,
+          "--cache_file", cache, "--parser", "movielens"])
+    for method in ("BPR", "WARP"):
+        rc = main(["--task", "train", "--method", method, "--num_dim", "4",
+                   "--max_iters", "2", "--eval_iters", "2",
+                   "--batch_size", "16", "--dense_mode", "true",
+                   "--learn_rate", "0.2", "--skip_popularity",
+                   "--cache_file", cache])
+        assert rc == 0
+
+
 @pytest.mark.parametrize("extra", [
     ["--method", "CDAE", "--num_dim", "6", "--batch_size", "32"],
     ["--method", "BPR", "--num_dim", "4", "--batch_size", "64"],
