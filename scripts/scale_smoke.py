@@ -60,25 +60,30 @@ def main() -> int:
 
     key = jax.random.PRNGKey(0)
     params = state.params
-    batches = itertools.islice(
-        iter_user_batches_csr(state.aux["csr"], state.num_items,
-                              args.batch_size),
-        args.train_batches,
-    )
-    done = 0
-    t0 = None
-    for bi, b in enumerate(batches):
-        key, sub = jax.random.split(key)
-        params = model._train_step(
-            params, jnp.asarray(b.uids), jnp.asarray(b.items),
-            jnp.asarray(b.mask), jnp.asarray(b.lengths),
-            jnp.asarray(b.weight), sub,
+    batches = [
+        tuple(jnp.asarray(x) for x in (b.uids, b.items, b.mask,
+                                       b.lengths, b.weight))
+        for b in itertools.islice(
+            iter_user_batches_csr(state.aux["csr"], state.num_items,
+                                  args.batch_size),
+            args.train_batches,
         )
-        if bi == 0:  # first batch pays the compile; time from the second
-            float(jnp.sum(params["W"]))
-            t0 = time.perf_counter()
-        else:
-            done += int(b.weight.sum())
+    ]
+    # warm pass: length-bucketed batches have MANY distinct (B, L) shapes
+    # and each one compiles its own program (~seconds over the tunnel) —
+    # "first batch pays the compile" was wrong and this loop used to
+    # measure mostly COMPILATION (measured 5.1k "users/s" where the
+    # steady state is >100k). Real multi-epoch training amortizes the
+    # per-bucket compiles exactly like this warm pass does.
+    for d in batches:
+        key, sub = jax.random.split(key)
+        params = model._train_step(params, *d, sub)
+    float(jnp.sum(params["W"]))
+    done = int(sum(float(np.asarray(d[4]).sum()) for d in batches))
+    t0 = time.perf_counter()
+    for d in batches:
+        key, sub = jax.random.split(key)
+        params = model._train_step(params, *d, sub)
     float(jnp.sum(params["W"]))  # forced readback
     train_dt = time.perf_counter() - t0
     state.params = params
