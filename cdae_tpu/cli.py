@@ -107,6 +107,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the training loop")
     p.add_argument("--dense_mode", default="auto",
                    help="full-catalog dense training: auto|true|false")
+    p.add_argument("--warp_pool", type=int, default=0,
+                   help="WARP: pooled candidate negatives of this size "
+                        "(MFConfig.warp_pool; works with and without the "
+                        "dense rated mask). 0 = off")
+    p.add_argument("--num_shared_neg", type=int, default=32,
+                   help="BPR dense slab: shared negative draws per user "
+                        "(MFConfig.num_shared_neg)")
+    p.add_argument("--epoch_chunk", type=int, default=0,
+                   help="max scan steps per device dispatch "
+                        "(MFConfig.epoch_chunk; required at ~1M-item scale)."
+                        " 0 = whole epoch fused")
+    p.add_argument("--fast_rng", type=_booly, default=False,
+                   help="TPU hardware PRNG for sampling (MFConfig.fast_rng)")
     p.add_argument("--bf16_compute", type=_booly, default=False,
                    help="bf16 matmul operands (f32 masters + accumulators)")
     p.add_argument("--skip_popularity", action="store_true",
@@ -163,6 +176,10 @@ def build_model(args):
             # (pair with ~2x --learn_rate — see MFConfig/BASELINE.md)
             dense_mode=(None if args.dense_mode == "auto"
                         else _booly(args.dense_mode)),
+            warp_pool=(args.warp_pool or None),
+            num_shared_neg=args.num_shared_neg,
+            epoch_chunk=(args.epoch_chunk or None),
+            fast_rng=(True if args.fast_rng else None),
         ))
     if method in ("ALS", "WRMF"):
         cls = M.ALS if method == "ALS" else M.WRMF

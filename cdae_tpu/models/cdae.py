@@ -115,6 +115,22 @@ class CDAEConfig:
     # and (K, D) MXU matmuls with only K scatter rows per batch — the
     # serialized per-negative scatter (B*L*num_neg points) disappears.
     # Needs K >~ num_neg*max|O_u| for unclipped q. None = exact sampling.
+    row_update: Optional[bool] = None  # sparse path: update ONLY the
+    # touched W/V/b_prime rows via duplicate-safe delta AdaGrad
+    # (solver/optimizer.row_adagrad_delta — the MF family's scheme, see
+    # MFConfig.row_update) instead of materializing full (I, D) gradient
+    # tables and sweeping dense AdaGrad over the whole table every batch.
+    # O(B·L·D + K·D) per step, independent of catalog size. Semantics:
+    # per-contribution AdaGrad (duplicate rows within a batch see
+    # partially-stale accumulators — CLOSER to the reference's sequential
+    # per-touch updates, cdae.hpp:230-257, than accumulate-then-apply;
+    # parity-gated like MF row_update). MEASURED NEUTRAL-TO-NEGATIVE at
+    # the config-5 shape (1M items, D=50, bs1024, neg_pool 8192: 121k vs
+    # 146k users/s — unlike MF's (I, C) one-hot grad tables, CDAE's dense
+    # apply is a fused 200MB sweep that amortizes over the batch, while
+    # the row path pays ~8 serialized gather/scatter passes of B·L row
+    # indices). None = OFF; opt in for small-batch or wide-D (table >>
+    # batch work) regimes.
     dtype: Any = jnp.float32
 
 
@@ -639,16 +655,29 @@ def _train_step(
     g_pos = loss.gradient(pred_pos, 1.0) * mask_f  # ref cdae.hpp:228
 
     items_c = jnp.clip(items, 0, I - 1)
+    use_row = bool(cfg.row_update)  # None = off (see CDAEConfig.row_update
+    # measurement note — CDAE's fused dense sweep amortizes; MF's doesn't)
     # b': per-touch grad g + λ·b' (ref cdae.hpp:231, :268)
-    d_bp = (
-        jnp.zeros((I,), params["b_prime"].dtype)
-        .at[items]
-        .add((g_pos + lam * params["b_prime"][items_c]) * mask_f, mode="drop")
-    )
+    bp_pos_vals = (g_pos + lam * params["b_prime"][items_c]) * mask_f
+    # row mode (CDAEConfig.row_update): collect (rows, vals, live)
+    # contributions and apply them as touched-row delta AdaGrad AFTER all
+    # gradients are computed from the pre-update params — no (I,)/(I, D)
+    # gradient tables, no full-table AdaGrad sweep. Application order
+    # mirrors the reference: positive output rows, negative output rows,
+    # then encoder input rows (cdae.hpp:225-293, :333-349).
+    bp_contribs = [(items, bp_pos_vals, mask)]
+    table_neg_contribs = []  # -> W (tied) or V (asymmetric)
+    if not use_row:
+        d_bp = (
+            jnp.zeros((I,), params["b_prime"].dtype)
+            .at[items]
+            .add(bp_pos_vals, mode="drop")
+        )
     # hidden gradient Σ_o g_o · dec_o (ref cdae.hpp:240/248/277/285)
     hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos)
 
-    d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
+    if not use_row:
+        d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
     if cfg.neg_pool:
         # ---- pooled negatives (see CDAEConfig.neg_pool): one shared pool
         # of K uniform ids; per-user Bernoulli keep with q_u chosen so each
@@ -685,13 +714,16 @@ def _train_step(
         ).astype(z.dtype)
         g_pool = loss.gradient(pred_pool, 0.0) * sel  # ref cdae.hpp:265
         touch = jnp.sum(sel, axis=0)  # (K,)
-        d_bp = d_bp.at[pool].add(
-            jnp.sum(g_pool, axis=0) + lam * bp_pool * touch
-        )
+        bp_pool_vals = jnp.sum(g_pool, axis=0) + lam * bp_pool * touch
+        table_pool_vals = g_pool.T @ z + lam * dec_pool * touch[:, None]
         hidden_grad = hidden_grad + g_pool @ dec_pool
-        d_table_neg = d_table_neg.at[pool].add(
-            g_pool.T @ z + lam * dec_pool * touch[:, None]
-        )
+        if use_row:
+            pool_live = jnp.ones((K,), bool)
+            bp_contribs.append((pool, bp_pool_vals, pool_live))
+            table_neg_contribs.append((pool, table_pool_vals, pool_live))
+        else:
+            d_bp = d_bp.at[pool].add(bp_pool_vals)
+            d_table_neg = d_table_neg.at[pool].add(table_pool_vals)
     else:
         # ---- exact complement sampling: num_neg per positive, processed
         # in num_neg chunks of (B, L) so peak HBM temp is one (B, L, D)
@@ -707,43 +739,44 @@ def _train_step(
             # sentinel id num_items marks an empty complement (user rated
             # the whole catalog) — such slots must carry no gradient, not
             # clip to a real (rated!) item
-            g_nk = (
-                loss.gradient(pred_nk, 0.0)
-                * mask_f
-                * (nk < I).astype(mask_f.dtype)
-            )  # ref cdae.hpp:265
-            d_bp = d_bp.at[nk].add(
-                (g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)])
-                * mask_f,
-                mode="drop",
-            )
+            nk_live = mask & (nk < I)
+            g_nk = loss.gradient(pred_nk, 0.0) * nk_live.astype(mask_f.dtype)
+            # ref cdae.hpp:265
+            bp_nk_vals = (
+                g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)]
+            ) * mask_f
+            w_nk_vals = (
+                g_nk[..., None] * z[:, None, :] + lam * dec_nk
+            ) * mask_f[..., None]
             hidden_grad = hidden_grad + jnp.einsum("bl,bld->bd", g_nk, dec_nk)
-            d_table_neg = d_table_neg.at[nk].add(
-                (g_nk[..., None] * z[:, None, :] + lam * dec_nk)
-                * mask_f[..., None],
-                mode="drop",
-            )
+            if use_row:
+                bp_contribs.append((nk, bp_nk_vals, nk_live))
+                table_neg_contribs.append((nk, w_nk_vals, nk_live))
+            else:
+                d_bp = d_bp.at[nk].add(bp_nk_vals, mode="drop")
+                d_table_neg = d_table_neg.at[nk].add(w_nk_vals, mode="drop")
     hg = hidden_grad * dz  # (B, D)
 
     # ---- decoder-table gradients ----
     if cfg.asymmetric:
         # all outputs update V with g·z + λ·V_o (ref cdae.hpp:241-246, 278-283)
-        d_V = d_table_neg.at[items].add(
-            (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
-            * mask_f[..., None],
-            mode="drop",
-        )
-        d_W_out = jnp.zeros_like(params["W"])
+        out_vals = (
+            g_pos[..., None] * z[:, None, :] + lam * dec_pos
+        ) * mask_f[..., None]
     else:
         # positives KEPT in the corrupted input defer their g·z to the
         # input-side update (ref cdae.hpp:249-251); dropped positives and all
         # negatives update W directly with g·z + λ·W_o (ref :252-257, :285-291)
         direct_pos = mask_f * (1.0 - keep_f)
-        d_W_out = d_table_neg.at[items].add(
-            (g_pos[..., None] * z[:, None, :] + lam * dec_pos)
-            * direct_pos[..., None],
-            mode="drop",
-        )
+        out_vals = (
+            g_pos[..., None] * z[:, None, :] + lam * dec_pos
+        ) * direct_pos[..., None]
+    if not use_row:
+        if cfg.asymmetric:
+            d_V = d_table_neg.at[items].add(out_vals, mode="drop")
+            d_W_out = jnp.zeros_like(params["W"])
+        else:
+            d_W_out = d_table_neg.at[items].add(out_vals, mode="drop")
 
     # ---- input-side (encoder) gradients for kept items ----
     # grad_j = hg·scale (⊙Uu) + λ·W_j (+ g_j·z for the deferred positive term)
@@ -760,8 +793,35 @@ def _train_step(
     ) * keep_f[..., None]
     # NOTE (asymmetric): ref accumulates input_gradient only in the non-asym
     # branch (cdae.hpp:247-259); asym inputs get hg·scale + λ·W_j only.
-    d_W_in = jnp.zeros_like(params["W"]).at[items].add(in_grad, mode="drop")
-    d_W = d_W_out + d_W_in
+
+    params = dict(params)
+    if use_row:
+        # ---- apply per-contribution row AdaGrad (CDAEConfig.row_update):
+        # only touched rows move; duplicate rows delta-add safely ----------
+        def row_table_step(name, rows, vals, live):
+            if rows.ndim == 2:  # (B, L) slots -> flat contribution list
+                rows = rows.reshape(-1)
+                vals = vals.reshape((rows.shape[0],) + vals.shape[2:])
+                live = live.reshape(-1)
+            if vals.ndim > 1:
+                live = live[:, None]
+            params[name], params[name + "_ag"] = row_adagrad_delta(
+                params[name], params[name + "_ag"], rows, vals, live,
+                lr, beta, cfg.using_adagrad,
+            )
+
+        out_table = "V" if cfg.asymmetric else "W"
+        # reference order: positive outputs, negative outputs, input rows
+        row_table_step(out_table, items, out_vals, mask)
+        for rows, vals, live in table_neg_contribs:
+            row_table_step(out_table, rows, vals, live)
+        for rows, vals, live in bp_contribs:
+            row_table_step("b_prime", rows, vals, live)
+        row_table_step("W", items, in_grad, keep)
+    else:
+        d_W = d_W_out + jnp.zeros_like(params["W"]).at[items].add(
+            in_grad, mode="drop"
+        )
 
     # ---- apply AdaGrad (accumulate-then-apply per batch) ----
     def dense_step(name, grad):
@@ -770,11 +830,11 @@ def _train_step(
             cfg.using_adagrad,
         )
 
-    params = dict(params)
-    dense_step("W", d_W)
-    dense_step("b_prime", d_bp)
-    if cfg.asymmetric:
-        dense_step("V", d_V)
+    if not use_row:
+        dense_step("W", d_W)
+        dense_step("b_prime", d_bp)
+        if cfg.asymmetric:
+            dense_step("V", d_V)
 
     # b: per-user grad hg + λ·b (ref cdae.hpp:301-315)
     d_b = jnp.einsum("bd,b->d", hg, w_user) + jnp.sum(w_user) * lam * params["b"]
@@ -824,6 +884,18 @@ def _use_fused_step(cfg: CDAEConfig) -> bool:
     # slab HBM traffic better than the traffic accounting suggested, so
     # the kernel stays OPT-IN (fused_step=True) for wide-D experiments.
     if cfg.fused_step is not None:
+        if cfg.fused_step and not _fused_step_supported(cfg):
+            import warnings
+
+            warnings.warn(
+                "CDAEConfig.fused_step=True but the fused kernel does not "
+                "support this config (requires asymmetric=False, "
+                "linear_function=False, f32 dtype/compute_dtype) — falling "
+                "back to the XLA dense step. Timings will measure the XLA "
+                "path, not the Pallas kernel.",
+                UserWarning,
+                stacklevel=2,
+            )
         return cfg.fused_step and _fused_step_supported(cfg)
     return False
 

@@ -74,11 +74,14 @@ class MFConfig:
     # (None = off) until its TPU parity cell is recorded. WARP ignores it
     # for training (its dense violator path is a separate mechanism).
     num_shared_neg: int = 32  # BPR dense slab only: shared negative draws
-    # per user per epoch. Each positive pairs with ALL M live draws at
-    # weight num_neg/M_live — an unbiased estimator of the reference's
-    # num_neg independent per-positive draws (uniform over unrated), with
+    # per user per epoch, each EXACTLY uniform over the user's unrated
+    # items (rank-select of the u-th zero of the dense row — no rejection,
+    # no zero-weighted dead draws). Each positive pairs with ALL M draws at
+    # weight num_neg/M — an unbiased estimator of the reference's num_neg
+    # independent per-positive draws (same conditional distribution), with
     # lower per-positive variance and every gather/scatter restructured
-    # into (B,I)x(I,D) MXU matmuls.
+    # into (B,I)x(I,D) MXU matmuls. Users with an empty complement (rated
+    # the whole catalog) contribute nothing, as in the reference.
     fast_rng: Optional[bool] = None  # TPU hardware PRNG (see
     # CDAEConfig.fast_rng) for the dense negative masks AND the sparse-path
     # samplers (complement draws, WARP geometric/violator draws); None = off.
@@ -115,7 +118,11 @@ class MFConfig:
     # violators). O(B·P·nn) per step instead of the violator kernel's
     # O(B·I·nn): the estimator of the reference's process under pool
     # sampling variance (same construction as CDAEConfig.neg_pool).
-    # None = off (kernel/XLA dense path).
+    # None = off (kernel/XLA dense path). Works in BOTH regimes: with the
+    # dense (U, I) rated mask when it exists, and at huge catalogs
+    # (dense_mode=False or U·I > 1.5e9) via a CSR-gathered pool membership
+    # test (ops/sampling.is_rated) — same truth table, bitwise-identical
+    # trajectory at equal keys.
     gather_mode: str = "auto"  # auto|native|mxu — how the per-instance
     # factor rows are READ from the tables. "mxu" packs G=128//D rows per
     # lane group and gathers via a VMEM one-hot contraction
@@ -900,16 +907,55 @@ class BPR(_MFBase):
         S = uv_u @ params["iv"].T + params["ib"][None, :]  # (B, I)
         # M shared draws per user, uniform over the catalog; draws that
         # land on a rated item are zero-weighted (uniform over unrated
-        # conditional on being live — the rated fraction is typically
-        # a few percent, so M_live ≈ M)
+        # conditional on being live — the rated fraction is typically a
+        # few percent, so M_live ≈ M). The all-M-draws-rated event used to
+        # drop the user's whole epoch contribution (ADVICE r3, systematic
+        # under-training of very dense users at small num_shared_neg); a
+        # RESCUE draw now covers it: one EXACT complement draw per user
+        # (rank-select of the u-th zero of the dense row via a fused
+        # (B, I) compare+reduce — a per-slot exact scheme was measured 3x
+        # slower: the batched-bisection gathers serialize on TPU),
+        # substituted into slot 0 only when every catalog draw was rated.
+        k_draw, k_rescue = jax.random.split(key)
         if cfg.fast_rng:
-            j = sampling.hw_randint(key, (B, M), I)
+            j = sampling.hw_randint(k_draw, (B, M), I)
         else:
-            j = jax.random.randint(key, (B, M), 0, I)
+            j = jax.random.randint(k_draw, (B, M), 0, I)
         live = (
             1.0 - jnp.take_along_axis(rows01, j, axis=1)
         ) * w_user[:, None]  # (B, M) 1 iff draw is unrated and row is real
-        m_live = jnp.sum(live, axis=1)  # (B,)
+        m_live0 = jnp.sum(live, axis=1)  # (B,)
+        L_u = jnp.sum(rows, axis=1)  # (B,) w-weighted positive count
+        # L_u == n_rated on real (w=1) rows; w=0 rows are excluded anyway
+        need = (m_live0 <= 0) & (L_u < jnp.float32(I)) & (w_user > 0)  # (B,)
+
+        def _with_rescue(j, live):
+            n_rated = jnp.sum((rows01 > 0).astype(jnp.int32), axis=1)
+            free = jnp.maximum(I - n_rated, 1)  # complement size per row
+            if cfg.fast_rng:
+                u_rank = sampling.hw_randint(k_rescue, (B, 1),
+                                             free[:, None], salt=0x7E5C)
+            else:
+                u_rank = jax.random.randint(k_rescue, (B, 1), 0,
+                                            free[:, None], dtype=jnp.int32)
+            # (u+1)-th zero of the row = #{i : zcum[i] <= u} (zcum monotone)
+            zcum = jnp.cumsum((rows01 <= 0).astype(jnp.int32), axis=1)
+            j_rescue = jnp.clip(
+                jnp.sum((zcum <= u_rank).astype(jnp.int32), axis=1), 0, I - 1
+            )  # (B,) exact uniform over the user's unrated items
+            slot0 = jnp.arange(M, dtype=jnp.int32)[None, :] == 0
+            hit = need[:, None] & slot0
+            return (jnp.where(hit, j_rescue[:, None], j),
+                    jnp.where(hit, 1.0, live))
+
+        # the rescue branch costs ~3 extra (B, I) passes; it only RUNS on
+        # the rare step where some row drew all-rated (lax.cond executes
+        # one branch at runtime — measured perf-neutral vs the pre-rescue
+        # step, while the unconditional form lost ~20%)
+        j, live = jax.lax.cond(
+            jnp.any(need), _with_rescue, lambda j, live: (j, live), j, live
+        )
+        m_live = jnp.sum(live, axis=1)  # (B,) >= 1 iff complement non-empty
         # per-pair weight a_u = num_neg / M_live (expected per-positive
         # update mass == the reference's num_neg draws)
         a = jnp.where(m_live > 0, nn / jnp.maximum(m_live, 1.0), 0.0)  # (B,)
@@ -923,9 +969,12 @@ class BPR(_MFBase):
         neg_w = live * a[:, None] * jnp.sum(
             g * rows[:, :, None], axis=1
         )  # (B, M): per-draw summed pair grads
-        # touch counts for the per-pair 2λ terms
-        pos_touch = rows * (w_user * nn)[:, None]  # (B, I) pairs per positive
-        L_u = jnp.sum(rows, axis=1)  # (B,)
+        # touch counts for the per-pair 2λ terms; a row with no live
+        # negative (empty complement) forms no pairs, so its positives get
+        # no per-pair λ term either (ref: each 2λ term rides an actual pair
+        # update, bpr.hpp:84-100)
+        has_pair = (m_live > 0).astype(dt)  # (B,)
+        pos_touch = rows * (w_user * nn * has_pair)[:, None]  # (B, I)
         neg_touch = jnp.where(m_live > 0, a * L_u, 0.0)[:, None] * live
         col_touch = jnp.sum(pos_touch, axis=0)  # (I,)
         # --- item table: dense pos-side matmul + B·M neg-row scatter ----
@@ -955,7 +1004,7 @@ class BPR(_MFBase):
         d_uv = (
             pos_w @ params["iv"]
             - jnp.einsum("bm,bmd->bd", neg_w, iv_j)
-            + lam2 * (w_user * nn)[:, None] * L_u[:, None] * uv_u
+            + lam2 * (w_user * nn * has_pair)[:, None] * L_u[:, None] * uv_u
         )
         params = _adagrad_apply(params, grads, cfg)
         return _dense_row_apply(params, {"uv": d_uv}, uids, w_user, cfg)
@@ -1122,12 +1171,22 @@ class WARP(_MFBase):
             return WARP._dense_path(
                 params, u, i, w, lengths, key, extras[0], cfg=cfg, loss=loss
             )
+        if cfg.warp_pool:
+            # no dense (U, I) mask (huge catalog / dense_mode=False): the
+            # pool path still runs — pool membership comes from the padded
+            # CSR rows (bitwise the same unrated test, so the trajectory
+            # matches the mask-based pool path at equal keys)
+            return WARP._pool_path(
+                params, u, i, w, lengths, key, None, rated=rated,
+                cfg=cfg, loss=loss,
+            )
         return WARP._scan_path(
             params, u, i, w, rated, lengths, key, cfg=cfg, loss=loss
         )
 
     @staticmethod
-    def _pool_path(params, u, i, w, lengths, key, mask_rows, *, cfg, loss):
+    def _pool_path(params, u, i, w, lengths, key, mask_rows, *, cfg, loss,
+                   rated=None):
         """Pooled-candidate rejection process (MFConfig.warp_pool).
 
         The reference draws complement candidates one at a time until the
@@ -1137,7 +1196,11 @@ class WARP(_MFBase):
         fraction among the instance's unrated pool entries, and j uniform
         over the instance's pool violators (argmax-of-iid-noise). Exact in
         the P→I limit; at P≪I it adds pool sampling variance (metric
-        parity gated like CDAE's neg_pool)."""
+        parity gated like CDAE's neg_pool).
+
+        Pool membership comes from ``mask_rows`` (the row-gathered dense
+        rated mask) when available, else from the padded CSR ``rated``
+        rows (huge-catalog regime) — identical truth tables."""
         I = params["iv"].shape[0]
         B = u.shape[0]
         nn = max(cfg.num_neg, 1)
@@ -1153,7 +1216,12 @@ class WARP(_MFBase):
         s_pool = (
             uv_u @ params["iv"][pool].T + params["ib"][pool][None, :]
         )  # (B, P)
-        unrated = jnp.take(mask_rows, pool, axis=1) == 0  # (B, P)
+        if mask_rows is not None:
+            unrated = jnp.take(mask_rows, pool, axis=1) == 0  # (B, P)
+        else:
+            # huge-catalog form: membership from the padded CSR rows —
+            # identical truth table to the dense-mask gather
+            unrated = ~sampling.is_rated(rated, lengths, pool)  # (B, P)
         viol = (s_pool > (yui[:, None] - 1.0)) & unrated
         nv = jnp.sum(viol.astype(jnp.int32), axis=1)  # (B,)
         pool_live = jnp.sum(unrated.astype(jnp.int32), axis=1)

@@ -112,3 +112,39 @@ def sample_unrated(
         # S=4000, L=800 on the 200k x 50k smoke)
         k = jax.vmap(jnp.searchsorted, in_axes=(0, 0, None))(ranks, u, "right")
     return (u + k).astype(jnp.int32)
+
+
+def is_rated(
+    sorted_items: jnp.ndarray,  # (B, L) int32, ascending, padded with num_items
+    lengths: jnp.ndarray,  # (B,) int32 — number of real entries per row
+    queries: jnp.ndarray,  # (Q,) shared or (B, Q) per-row int32 ids < num_items
+) -> jnp.ndarray:
+    """Membership of ``queries`` in each row's rated set; (B, Q) bool.
+
+    The CSR-gathered replacement for ``dense_mask[uids][:, queries]`` when
+    the (U, I) rated mask is never built (huge catalogs — see
+    MFConfig.warp_pool). Fused compare+any on the VPU, chunked over Q to
+    bound the (B, L, chunk) working set; the vmapped binary search
+    serializes on TPU (see sample_unrated's measured notes).
+    """
+    B, L = sorted_items.shape
+    if queries.ndim == 1:
+        q = jnp.broadcast_to(queries[None, :], (B, queries.shape[0]))
+    else:
+        q = queries
+    Q = q.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # padding slots -> -1 so they can never match a valid (>= 0) query
+    rows = jnp.where(pos < lengths[:, None], sorted_items, -1)
+    chunk = 32
+    if Q <= chunk:
+        return jnp.any(rows[:, :, None] == q[:, None, :], axis=1)
+    Q_pad = -(-Q // chunk) * chunk
+    q_p = jnp.pad(q, ((0, 0), (0, Q_pad - Q)), constant_values=-1)
+    q_c = jnp.moveaxis(q_p.reshape(B, Q_pad // chunk, chunk), 1, 0)
+
+    def body(_, qc):
+        return None, jnp.any(rows[:, :, None] == qc[:, None, :], axis=1)
+
+    _, hit = jax.lax.scan(body, None, q_c)
+    return jnp.moveaxis(hit, 0, 1).reshape(B, Q_pad)[:, :Q]

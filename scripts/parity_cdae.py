@@ -51,6 +51,15 @@ GRID = [
     # path (where neg_pool lives) actually runs.
     ("neg_pool=4096", [],
      {"neg_pool": 4096, "dense_mode": False, "use_pallas": False}),
+    # touched-rows delta AdaGrad (CDAEConfig.row_update — the huge-catalog
+    # apply): per-contribution accumulator cadence instead of accumulate-
+    # then-apply; gate vs the same exact-sampling oracle. The second cell
+    # is the actual config-5 combination (row updates + pooled negatives).
+    ("row_update", [],
+     {"row_update": True, "dense_mode": False, "use_pallas": False}),
+    ("row_update+pool", [],
+     {"row_update": True, "neg_pool": 4096, "dense_mode": False,
+      "use_pallas": False}),
 ]
 
 

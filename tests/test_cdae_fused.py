@@ -101,3 +101,21 @@ def test_fused_supported_surface():
     # explicit off always wins
     assert not M._use_fused_step(
         M.CDAEConfig(fused_step=False, **base))
+
+
+def test_fused_step_unsupported_config_warns():
+    """fused_step=True on a config outside the kernel's support surface
+    must WARN about the silent XLA fallback (ADVICE r3) — a wide-D
+    experiment meant to measure the Pallas kernel would otherwise time
+    the wrong path."""
+    cfg = M.CDAEConfig(num_dim=8, loss="SQUARE", fused_step=True,
+                       asymmetric=True)
+    with pytest.warns(UserWarning, match="fused"):
+        assert not M._use_fused_step(cfg)
+    # supported config: no warning, kernel selected
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert M._use_fused_step(
+            M.CDAEConfig(num_dim=8, loss="SQUARE", fused_step=True))

@@ -256,3 +256,23 @@ def test_sweep_paper_grid_matches_reference_script():
     # every point unique
     keys = {tuple(sorted(g.items())) for g in grid}
     assert len(keys) == len(grid)
+
+
+def test_cli_warp_pool_and_tpu_knobs(tmp_path, movielens_path):
+    """--warp_pool / --num_shared_neg / --epoch_chunk reach MFConfig from
+    the CLI; warp_pool runs in the CSR (no dense mask) regime."""
+    cache = str(tmp_path / "ml.bin")
+    main(["--task", "prepare", "--input_file", movielens_path,
+          "--cache_file", cache, "--parser", "movielens"])
+    rc = main(["--task", "train", "--method", "WARP", "--num_dim", "4",
+               "--max_iters", "2", "--eval_iters", "2",
+               "--batch_size", "16", "--warp_pool", "16",
+               "--dense_mode", "false", "--epoch_chunk", "4",
+               "--skip_popularity", "--cache_file", cache])
+    assert rc == 0
+    rc = main(["--task", "train", "--method", "BPR", "--num_dim", "4",
+               "--max_iters", "2", "--eval_iters", "2",
+               "--batch_size", "16", "--dense_mode", "true",
+               "--num_shared_neg", "8", "--learn_rate", "0.2",
+               "--skip_popularity", "--cache_file", cache])
+    assert rc == 0

@@ -281,3 +281,63 @@ def test_fused_dense_epoch_matches_slab_loop(splits):
     for k in params:
         np.testing.assert_array_equal(np.asarray(stA.params[k]),
                                       np.asarray(params[k]), err_msg=k)
+
+
+def test_warp_pool_csr_matches_mask_path(splits):
+    """warp_pool at huge catalogs (no dense (U, I) rated mask): the
+    CSR-gathered membership test (ops/sampling.is_rated) must reproduce
+    the mask-based pool path's trajectory bitwise at equal keys — the
+    advertised contract of MFConfig.warp_pool in both regimes."""
+    train, _ = splits
+    base = dict(num_dim=8, num_neg=3, loss="HINGE", beta=0.0,
+                lambda_=0.1, batch_size=64, warp_pool=64, use_pallas=False)
+    runs = []
+    for dense_mode in (None, False):  # auto mask vs forced CSR
+        model = WARP(MFConfig(dense_mode=dense_mode, **base))
+        state = model.reset(train, seed=11)
+        key = jax.random.PRNGKey(5)
+        for e in range(3):
+            state = model.train_one_iteration(
+                state, jax.random.fold_in(key, e))
+        runs.append({k: np.asarray(v) for k, v in state.params.items()})
+    for k in runs[0]:
+        assert np.array_equal(runs[0][k], runs[1][k]), k
+
+
+def test_bpr_dense_shared_negs_exact_complement(splits):
+    """BPR._dense_step draws are exactly uniform over each user's unrated
+    items: every draw must miss the rated set even at num_shared_neg=1 on
+    a very dense user (the old uniform-over-catalog scheme zero-weighted
+    rated hits and could drop such users entirely — ADVICE r3)."""
+    import functools
+    from cdae_tpu.models.mf import BPR as _BPR
+
+    I, B, M = 64, 4, 1
+    rng = np.random.default_rng(3)
+    R = np.zeros((B, I), np.float32)
+    R[0, : I - 2] = 1.0  # 97% dense user: P(all-M-rated) was ~0.97 at M=1
+    R[1, rng.choice(I, 20, replace=False)] = 1.0
+    R[3, :] = 1.0  # rated EVERYTHING: must contribute nothing, not crash
+    cfg = MFConfig(num_dim=4, num_neg=2, loss="LOG", batch_size=B,
+                   dense_mode=True, num_shared_neg=M)
+    model = _BPR(cfg)
+    params = {
+        "uv": jnp.asarray(rng.standard_normal((B, 4)), jnp.float32),
+        "iv": jnp.asarray(rng.standard_normal((I, 4)), jnp.float32),
+        "ub": jnp.zeros((B,), jnp.float32),
+        "ib": jnp.zeros((I,), jnp.float32),
+    }
+    for k in params.copy():
+        params[k + "_ag"] = jnp.full_like(params[k], 1e-4)
+    uids = jnp.arange(B, dtype=jnp.int32)
+    w = jnp.ones((B,), jnp.float32)
+    step = jax.jit(functools.partial(
+        _BPR._dense_step, cfg=cfg, loss=model.loss))
+    before = np.asarray(params["uv"])
+    out = step(params, jnp.asarray(R), jnp.asarray(R), uids, w,
+               jax.random.PRNGKey(0))
+    after = np.asarray(out["uv"])
+    # the 97%-dense user must receive an update every step (exact draws)
+    assert not np.allclose(before[0], after[0])
+    # the all-rated user must be untouched
+    np.testing.assert_array_equal(before[3], after[3])

@@ -490,3 +490,35 @@ def test_key_seed_distinct_across_splits():
     assert jnp.asarray(seeds).dtype in (jnp.int32, jnp.int64)
     # traceable under jit (the fused epoch calls it inside a scan body)
     assert int(jax.jit(key_seed)(key)) == int(key_seed(key))
+
+
+def test_is_rated_matches_naive_membership():
+    """ops/sampling.is_rated: CSR-gathered membership == naive set lookup
+    (both shared (Q,) and per-row (B, Q) query layouts, Q above and below
+    the 32-wide chunk)."""
+    rng = np.random.default_rng(7)
+    num_items = 200
+    B, L = 5, 12
+    rated = np.full((B, L), num_items, np.int32)
+    lengths = rng.integers(0, L, size=B).astype(np.int32)
+    for b in range(B):
+        rated[b, : lengths[b]] = np.sort(
+            rng.choice(num_items, size=lengths[b], replace=False)
+        )
+    for Q in (8, 100):
+        q_shared = rng.integers(0, num_items, size=Q).astype(np.int32)
+        got = np.asarray(sampling.is_rated(
+            jnp.asarray(rated), jnp.asarray(lengths), jnp.asarray(q_shared)
+        ))
+        for b in range(B):
+            rated_set = set(rated[b, : lengths[b]].tolist())
+            want = np.array([x in rated_set for x in q_shared])
+            assert np.array_equal(got[b], want)
+        q_rows = rng.integers(0, num_items, size=(B, Q)).astype(np.int32)
+        got = np.asarray(sampling.is_rated(
+            jnp.asarray(rated), jnp.asarray(lengths), jnp.asarray(q_rows)
+        ))
+        for b in range(B):
+            rated_set = set(rated[b, : lengths[b]].tolist())
+            want = np.array([x in rated_set for x in q_rows[b]])
+            assert np.array_equal(got[b], want)

@@ -198,3 +198,43 @@ def test_bpr_step_mxu_gather_near_bitwise(movielens_path):
         np.testing.assert_allclose(np.asarray(states["native"][k]),
                                    np.asarray(states["mxu"][k]),
                                    rtol=1e-6, atol=1e-8, err_msg=k)
+
+
+def test_warp_mshift_selection_uniformity():
+    """Pooled-slot chi-square bound on the default ("mshift") selection
+    noise stream (ADVICE r3): with every item a violator, each (row, slot)
+    selection must be uniform over the catalog. The broken single-base
+    multiply-shift variant measured pooled chi2 350-411 at dof 255 (see
+    the kernel comment); the shipped 2-base family measures ~282 and the
+    full per-slot murmur hash ~259 — the 330 bound separates them. A
+    regression in the mixing constants moves this statistic far past the
+    bound (deterministic: fixed seeds)."""
+    from cdae_tpu.ops.pallas_kernels import warp_violator_select
+
+    B, I, D, nn = 64, 256, 4, 4
+    uv = jnp.ones((B, D), jnp.float32)
+    iv = jnp.ones((I, D), jnp.float32)
+    ib = jnp.zeros((I,), jnp.float32)
+    mask = jnp.zeros((B, I), jnp.int8)
+    thr = jnp.full((B,), -1e9, jnp.float32)  # everything violates
+    counts = np.zeros(I)
+    per_slot = np.zeros((nn, I))
+    for s in range(8):
+        _, j = warp_violator_select(
+            jnp.int32(1000 + s * 7919), uv, iv, ib, thr, mask, nn,
+            block_b=32, block_i=128, noise="mshift",
+        )
+        jn = np.asarray(j)
+        counts += np.bincount(jn.ravel(), minlength=I)
+        per_slot += np.stack(
+            [np.bincount(jn[:, k], minlength=I) for k in range(nn)]
+        )
+    E = counts.sum() / I
+    chi2 = ((counts - E) ** 2 / E).sum()
+    assert chi2 < 330.0, chi2  # dof 255: good ~282, broken variant >=350
+    # per-slot coarse uniformity (32 bins, dof 31): catches a single bad
+    # slot multiplier that the pooled statistic could average away
+    for k in range(nn):
+        c = per_slot[k].reshape(32, -1).sum(1)
+        Ek = c.sum() / 32
+        assert ((c - Ek) ** 2 / Ek).sum() < 65.0, k

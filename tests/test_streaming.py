@@ -99,3 +99,62 @@ def test_train_epochs_learns_like_iterations(data):
     # same quality band (different RNG streams -> not bitwise)
     assert abs(r1["R@10"] - r2["R@10"]) < 0.25
     assert r2["R@10"] > 0.2
+
+
+def test_row_update_matches_dense_apply_sgd(data):
+    """CDAEConfig.row_update (touched-rows delta AdaGrad — the huge-catalog
+    apply) is algebraically the SAME update as the dense accumulate-then-
+    apply when using_adagrad=False (plain SGD is linear in the per-touch
+    contributions), so the two paths must match to float tolerance on one
+    step — across the tied/pooled/asymmetric/gated config families."""
+    import jax.numpy as jnp
+    from cdae_tpu.models import cdae as M
+
+    rng = np.random.default_rng(0)
+    B, L, I, D = 8, 12, 40, 6
+    items = np.sort(rng.integers(0, I, size=(B, L)).astype(np.int32), axis=1)
+    mask = rng.random((B, L)) < 0.8
+    items = np.sort(np.where(mask, items, I).astype(np.int32), axis=1)
+    mask = items < I
+    lengths = mask.sum(1).astype(np.int32)
+    uids = np.arange(B, dtype=np.int32)
+    weight = np.ones(B, np.float32)
+    weight[-1] = 0.0  # padding row must stay inert in both paths
+    u_all = np.repeat(np.arange(B), lengths)
+    i_all = np.concatenate([items[b, : lengths[b]] for b in range(B)])
+    ds = Interactions.from_arrays(u_all.astype(np.int32),
+                                  i_all.astype(np.int32),
+                                  num_users=B, num_items=I)
+    for kw in ({}, {"neg_pool": 16}, {"asymmetric": True},
+               {"linear_function": True}):
+        base = dict(num_dim=D, loss="SQUARE", using_adagrad=False,
+                    use_pallas=False, fast_rng=False, **kw)
+        model = M.CDAE(M.CDAEConfig(row_update=False, **base))
+        params0 = M.CDAE(M.CDAEConfig(row_update=False, **base)).reset(
+            ds, seed=1).params
+        key = jax.random.PRNGKey(7)
+        outs = []
+        for row in (False, True):
+            cfg = M.CDAEConfig(row_update=row, **base)
+            outs.append(M._train_step(
+                {k: jnp.array(v) for k, v in params0.items()},
+                jnp.asarray(uids), jnp.asarray(items), jnp.asarray(mask),
+                jnp.asarray(lengths), jnp.asarray(weight), key,
+                cfg=cfg, loss=model.loss))
+        for k in outs[0]:
+            np.testing.assert_allclose(
+                np.asarray(outs[0][k]), np.asarray(outs[1][k]),
+                atol=2e-5, rtol=1e-5, err_msg=f"{kw} {k}")
+
+
+def test_row_update_adagrad_learns(data):
+    """row_update=True with AdaGrad (the config-5 path) trains to a
+    recall in the sparse path's ballpark."""
+    train, test = data.split_by_user(0.2, seed=20141119)
+    model = CDAE(CDAEConfig(num_dim=8, loss="SQUARE", corruption_ratio=0.2,
+                            scaled=True, batch_size=16, use_pallas=False,
+                            fast_rng=False, row_update=True, neg_pool=16))
+    solver = Solver(model, max_iteration=8, eval_iterations=8,
+                    seed=3, verbose=False)
+    solver.train(train, test, ["TOPN"])
+    assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
