@@ -189,6 +189,7 @@ class CDAE(RecsysModel):
         self._scores = jax.jit(
             functools.partial(_batch_scores, cfg=self.cfg)
         )
+        self._topk_fns: Dict = {}  # (mode, k, num_items) -> jitted topk
 
     # ------------------------------------------------------------- reset ----
     def reset(self, data: Interactions, seed: int = 0) -> CDAEState:
@@ -478,47 +479,34 @@ class CDAE(RecsysModel):
         """Top-k rec ids for eval. Returns None for moderate catalogs (the
         evaluator's dense scores path is faster); for huge catalogs where a
         (B, num_items) slab would blow HBM, computes the list via blockwise
-        streaming top-k (ops/pallas_kernels.streaming_topk_scores)."""
+        streaming top-k (ops/pallas_kernels.streaming_topk_scores).
+
+        The whole pipeline (hidden encode + rated-mask build + fused
+        decode/top-k kernel) compiles as ONE program: eager per-op
+        dispatch of the (B, I) int8 mask build alone cost more than the
+        kernel at a 1M-item catalog (measured 3.3k vs 14.4k users/s,
+        round 4)."""
         B = np.asarray(uids).shape[0]
         if B * state.num_items <= 200_000_000:
             return None
-        z = _hidden(
+        mode = ("fused_dense" if self.cfg.use_pallas and "dense_R" in state.aux
+                else "fused_csr" if self.cfg.use_pallas
+                else "streaming")
+        cache_key = (mode, k, state.num_items)
+        fn = self._topk_fns.get(cache_key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                _batch_topk_impl, cfg=self.cfg, mode=mode, k=k,
+                num_items=state.num_items,
+            ))
+            self._topk_fns[cache_key] = fn
+        return fn(
             state.params,
             jnp.asarray(uids),
             jnp.asarray(rated_items),
-            (jnp.zeros_like(jnp.asarray(rated_mask))
-             if self.cfg.corruption_ratio == 1.0
-             else jnp.asarray(rated_mask)),
-            1.0,
-            self.cfg,
+            jnp.asarray(rated_mask),
+            state.aux["dense_R"] if mode == "fused_dense" else None,
         )
-        table = (
-            state.params["V"] if self.cfg.asymmetric else state.params["W"]
-        )
-        if self.cfg.use_pallas:
-            from cdae_tpu.ops.pallas_kernels import fused_topk_scores
-
-            if "dense_R" in state.aux:
-                rated_rows = state.aux["dense_R"][jnp.asarray(uids)]
-            else:
-                # build the (B, I) int8 rated rows on device per batch
-                ri = jnp.asarray(rated_items)
-                b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-                rated_rows = (
-                    jnp.zeros((B, state.num_items), jnp.int8)
-                    .at[b_idx, ri]
-                    .set(1, mode="drop")
-                )
-            ids, _ = fused_topk_scores(
-                z, table, state.params["b_prime"], rated_rows, k=k
-            )
-            return ids
-        from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
-
-        ids, _ = streaming_topk_scores(
-            z, table, state.params["b_prime"], jnp.asarray(rated_items), k=k
-        )
-        return ids
 
     def user_representations(self, state: CDAEState) -> np.ndarray:
         """Hidden codes for all users (ref cdae.hpp:148-159), returned in
@@ -593,6 +581,48 @@ def _hidden(
     if cfg.user_factor:
         h = h + params["Wu"][uids]
     return _activation(h, cfg.linear, cfg.tanh)
+
+
+def _batch_topk_impl(params, uids, rated_items, rated_mask, dense_rows,
+                     *, cfg: CDAEConfig, mode: str, k: int, num_items: int):
+    """One-program huge-catalog top-k: hidden encode + rated-mask build +
+    blockwise decode/top-k (fused Pallas kernel or the XLA streaming scan).
+    ``mode``: 'fused_dense' (mask = dense_R[uids]), 'fused_csr' (mask
+    scattered in-jit from the padded CSR rows), 'streaming' (XLA scan,
+    masks via searchsorted — no (B, I) mask at all)."""
+    z = _hidden(
+        params,
+        uids,
+        rated_items,
+        (jnp.zeros_like(rated_mask) if cfg.corruption_ratio == 1.0
+         else rated_mask),
+        1.0,
+        cfg,
+    )
+    table = params["V"] if cfg.asymmetric else params["W"]
+    if mode == "streaming":
+        from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+
+        ids, _ = streaming_topk_scores(
+            z, table, params["b_prime"], rated_items, k=k
+        )
+        return ids
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+    if mode == "fused_dense":
+        rated_rows = dense_rows[uids]
+    else:
+        B = uids.shape[0]
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        rated_rows = (
+            jnp.zeros((B, num_items), jnp.int8)
+            .at[b_idx, rated_items]
+            .set(1, mode="drop")
+        )
+    ids, _ = fused_topk_scores(
+        z, table, params["b_prime"], rated_rows, k=k
+    )
+    return ids
 
 
 def _z_one_minus_z(z: jnp.ndarray, cfg: CDAEConfig) -> jnp.ndarray:

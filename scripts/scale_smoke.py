@@ -26,7 +26,9 @@ def main() -> int:
     ap.add_argument("--items", type=int, default=1_000_000)
     ap.add_argument("--degree", type=int, default=50)
     ap.add_argument("--dim", type=int, default=50)
-    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=4096,
+                    help="bs4096 won the round-4 batch scan at 1M items "
+                         "(222k users/s vs 195k bs2048 / 186k bs8192)")
     ap.add_argument("--train_batches", type=int, default=30)
     ap.add_argument("--eval_batches", type=int, default=3)
     ap.add_argument("--neg_pool", type=int, default=0,
@@ -42,8 +44,7 @@ def main() -> int:
 
     from bench import synthetic_interactions
     from cdae_tpu.models.base import iter_user_batches_csr
-    from cdae_tpu.models.cdae import CDAE, CDAEConfig, _hidden
-    from cdae_tpu.ops.pallas_kernels import streaming_topk_scores
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
 
     t0 = time.perf_counter()
     data = synthetic_interactions(args.users, args.items, args.degree)
@@ -111,26 +112,36 @@ def main() -> int:
         ri, rm = model._user_rows(state, uids)
         prep.append((jnp.asarray(uids), jnp.asarray(ri), jnp.asarray(rm)))
 
-    def eval_batch(u, ri, rm):
-        z = _hidden(state.params, u, ri, rm, 1.0, model.cfg)
-        return streaming_topk_scores(
-            z, state.params["W"], state.params["b_prime"], ri,
-            k=10, block=16384,
-        )
-    for u, ri, rm in prep:  # warm: compile each (B, L) bucket program
-        ids, vals = eval_batch(u, ri, rm)
-    float(jnp.sum(vals))
-    t0 = time.perf_counter()
-    for u, ri, rm in prep:
-        ids, vals = eval_batch(u, ri, rm)
-    float(jnp.sum(vals))  # one forced readback for the whole queue
-    eval_dt = time.perf_counter() - t0
-    n_eval = B * len(prep)
-    print(f"# streaming top-10 over {args.items} items: "
-          f"{n_eval/max(eval_dt,1e-9):,.0f} users/s "
-          f"({n_eval} users in {eval_dt:.2f}s post-compile, "
-          f"{n_eval*args.items/max(eval_dt,1e-9)/1e9:.1f}B scorings/s)",
-          file=sys.stderr)
+    # both lines measure the production CDAE.batch_topk program shapes
+    # (one jitted program: hidden encode + mask + blockwise top-k —
+    # eager per-op mask dispatch alone used to cost more than the fused
+    # kernel: 3.3k vs 14.4k users/s, round 4).
+    import functools
+
+    from cdae_tpu.models.cdae import _batch_topk_impl
+
+    modes = [("streaming", "streaming")]
+    if jax.devices()[0].platform != "cpu":
+        modes.append(("fused_csr", "fused-kernel"))
+    for mode, label in modes:
+        ev = jax.jit(functools.partial(
+            _batch_topk_impl, cfg=model.cfg, mode=mode, k=10,
+            num_items=args.items,
+        ))
+        for u, ri, rm in prep:  # warm: compile each (B, L) bucket program
+            ids = ev(state.params, u, ri, rm, None)
+        float(jnp.sum(ids))
+        t0 = time.perf_counter()
+        for u, ri, rm in prep:
+            ids = ev(state.params, u, ri, rm, None)
+        float(jnp.sum(ids))  # one forced readback for the whole queue
+        eval_dt = time.perf_counter() - t0
+        n_eval = B * len(prep)
+        print(f"# {label} top-10 over {args.items} items: "
+              f"{n_eval/max(eval_dt,1e-9):,.0f} users/s "
+              f"({n_eval} users in {eval_dt:.2f}s post-compile, "
+              f"{n_eval*args.items/max(eval_dt,1e-9)/1e9:.1f}B scorings/s)",
+              file=sys.stderr)
     print("OK")
     return 0
 

@@ -238,3 +238,28 @@ def test_warp_mshift_selection_uniformity():
         c = per_slot[k].reshape(32, -1).sum(1)
         Ek = c.sum() / 32
         assert ((c - Ek) ** 2 / Ek).sum() < 65.0, k
+
+
+def test_fused_topk_block_clamp():
+    """VMEM-frame clamp for fused_topk_scores: must keep the measured-OK
+    points and exclude the measured-OOM points from the round-4 TPU sweep
+    at a 1M-item catalog (B, block): OK (256, 2048), (512, 1024); OOM
+    (256, 4096), (512, 2048), (1024, 1024)."""
+    from cdae_tpu.ops.pallas_kernels import _fused_topk_block
+
+    k = 10
+    # measured-OK points survive a same-size request
+    assert _fused_topk_block(256, 2048, k) == 2048
+    assert _fused_topk_block(512, 1024, k) == 1024
+    # measured-OOM points get clamped strictly below the failing block
+    assert _fused_topk_block(256, 4096, k) < 4096
+    assert _fused_topk_block(512, 2048, k) < 2048
+    assert _fused_topk_block(1024, 1024, k) < 1024
+    # monotone non-increasing in B, never below the 128-lane tile
+    prev = None
+    for B in (8, 64, 256, 1024, 8192):
+        blk = _fused_topk_block(B, 1 << 20, k)
+        assert blk >= 128
+        if prev is not None:
+            assert blk <= prev
+        prev = blk
