@@ -213,7 +213,14 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
                        pool_vals, pool_ids, *, k: int, block: int):
     """One catalog block: decode scores on the MXU, mask rated, merge into
     the VMEM-resident running top-k via k max-extract rounds (no sort —
-    Mosaic-friendly)."""
+    Mosaic-friendly).
+
+    NOTE a "stream a larger tile, merge in sub-slices" variant (to amortize
+    the ~16 µs fixed per-grid-step cost) was attempted round 4 and is NOT
+    expressible on this Mosaic target: static slices of kernel refs hang
+    the remote compiler; slicing loaded VALUES trips "Invalid input
+    layout" on the post-slice broadcast and then a compiler assertion
+    (limits[i] <= dim(i)) — see BASELINE.md."""
     j = pl.program_id(0)
     B = z_ref.shape[0]
     NEG = jnp.float32(-3.0e38)
@@ -261,27 +268,122 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
         ids_ref[:] = new_ids
 
 
-def _fused_topk_block(B: int, block: int, k: int) -> int:
+def _fused_topk_kernel_grouped(z_ref, w_ref, bp_ref, r_ref, ids_ref,
+                               vals_ref, run_vals, run_ids, *, k: int,
+                               block: int):
+    """Grouped-merge variant: ~2 VPU passes per extraction round instead of
+    the plain kernel's ~5 (max+argmax+consume over the whole pool).
+
+    Scores live grouped as (B, G, 128); a (B, G) group-maxima table makes
+    each round's argmax tiny (k+G candidates). Extracting the winning
+    element then touches (B, G, 128) twice (masked-max gather + clear);
+    the group's max is repaired from the gathered 128 lanes, not by a full
+    re-reduction. Also drops the (B, k+block) pool scratch entirely — the
+    only scratch is the running (B, k) top-k."""
+    j = pl.program_id(0)
+    B = z_ref.shape[0]
+    G = block // 128
+    NEG = jnp.float32(-3.0e38)
+
+    @pl.when(j == 0)
+    def _():
+        run_vals[:] = jnp.full((B, k), NEG, jnp.float32)
+        run_ids[:] = jnp.zeros((B, k), jnp.int32)
+
+    scores = jax.lax.dot_general(
+        z_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bp_ref[:]
+    # int8 compare is unsupported on this Mosaic target — widen first
+    scores = jnp.where(r_ref[:].astype(jnp.float32) > 0.0, NEG, scores)
+    # group maxima via a minor-axis (lane) reduction — the only 3D op
+    gm = jnp.max(scores.reshape(B, G, 128), axis=2)  # (B, G)
+
+    rv = run_vals[:]
+    rid = run_ids[:]
+    cols_k = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (B, G), 1)
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    colsb = jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
+    colsdiv = colsb // 128  # group of each column
+    colsmod = colsb % 128  # lane within the group
+    new_vals = jnp.full((B, k), NEG, jnp.float32)
+    new_ids = jnp.zeros((B, k), jnp.int32)
+    # NOTE every [:, None] rank-expansion below is on int32/f32 — Mosaic
+    # cannot insert a minor dim on bool (i1) vectors.
+    for t in range(k):  # k static rounds
+        cand = jnp.concatenate([rv, gm], axis=1)  # (B, k+G)
+        m = jnp.max(cand, axis=1)  # (B,)
+        a = jnp.argmax(cand, axis=1).astype(jnp.int32)  # first max
+        fr = (a < k).astype(jnp.int32)  # winner is a running entry
+        oh_run = (cols_k == a[:, None]) & (fr[:, None] > 0)
+        sel_run_id = jnp.sum(jnp.where(oh_run, rid, 0), axis=1)
+        g = jnp.where(fr > 0, 0, a - k)  # (B,)
+        ge = colsdiv == g[:, None]  # (B, block) winning-group columns
+        # pass 1: gather the winning group's 128 lanes — 2D mask, then a
+        # middle-axis max over the (B, G, 128) view (exactly one group per
+        # row is non-NEG). NOTE: the f32 MXU alternative (selection-by-sum
+        # against a tiled identity) is NOT exact on TPU at default
+        # precision — the dot truncates to bf16 (measured 7.7e-3 error).
+        masked = jnp.where(ge, scores, NEG)
+        ext = jnp.max(masked.reshape(B, G, 128), axis=1)  # (B, 128)
+        c = jnp.argmax(ext, axis=1).astype(jnp.int32)
+        sel_id = jnp.where(
+            fr > 0, sel_run_id, j * block + g * 128 + c
+        )
+        # pass 2: clear the consumed element in the block scores
+        scores = jnp.where(
+            ge & (colsmod == c[:, None]) & (fr[:, None] == 0),
+            NEG, scores,
+        )
+        # repair that group's max from the gathered lanes (no re-reduce)
+        nm = jnp.max(
+            jnp.where(cols_c == c[:, None], NEG, ext), axis=1
+        )
+        gm = jnp.where((cols_g == g[:, None]) & (fr[:, None] == 0),
+                       nm[:, None], gm)
+        # consume the running entry (if the winner came from there)
+        rv = jnp.where(oh_run, NEG, rv)
+        slot = cols_k == t
+        new_vals = jnp.where(slot, m[:, None], new_vals)
+        new_ids = jnp.where(slot, sel_id[:, None], new_ids)
+    run_vals[:] = new_vals
+    run_ids[:] = new_ids
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        vals_ref[:] = new_vals
+        ids_ref[:] = new_ids
+
+
+def _fused_topk_block(B: int, block: int, k: int,
+                      merge: str = "argmax") -> int:
     """Largest catalog block <= ``block`` whose kernel VMEM frame fits the
-    scoped stack. Frame model (bytes): pool scratch 8·B·(k+block) (f32 vals
-    + i32 ids) + double-buffered streamed tiles: W (2·4·128·block) and the
-    int8 rated mask (2·B·block). Measured feasibility at a 1M-item catalog
-    (round 4): (B=256, blk=2048) and (512, 1024) compile; (256, 4096),
-    (512, 2048) and (1024, 1024) hit the 16 MB scoped-vmem limit — an
-    8 MB frame budget separates the two sets with margin."""
+    scoped stack. Frame model (bytes) for the argmax merge: pool scratch
+    8·B·(k+block) (f32 vals + i32 ids) + double-buffered streamed tiles:
+    W (2·4·128·block) and the int8 rated mask (2·B·block). Measured
+    feasibility at a 1M-item catalog (round 4): (B=256, blk=2048) and
+    (512, 1024) compile; (256, 4096), (512, 2048) and (1024, 1024) hit the
+    16 MB scoped-vmem limit — an 8 MB frame budget separates the two sets
+    with margin. The grouped merge has no (B, k+block) pool — its frame is
+    the f32 scores value (4·B·block) + the same streamed tiles."""
     budget = 8 * 2**20
     b = max(B, 1)
     blk = 128  # lane-tile floor; huge B degrades rather than OOMs
     while True:
         nxt = blk + 128
-        frame = 8 * b * (k + nxt) + 1024 * nxt + 2 * b * nxt
+        if merge == "grouped":
+            frame = 4 * b * nxt + 1024 * nxt + 2 * b * nxt
+        else:
+            frame = 8 * b * (k + nxt) + 1024 * nxt + 2 * b * nxt
         if frame > budget or nxt > block:
             break
         blk = nxt
     return min(block, blk)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block"))
+@functools.partial(jax.jit, static_argnames=("k", "block", "merge"))
 def fused_topk_scores(
     z: jnp.ndarray,  # (B, D) hidden codes
     W: jnp.ndarray,  # (I, D) decoder table
@@ -289,6 +391,7 @@ def fused_topk_scores(
     rated_rows: jnp.ndarray,  # (B, I) int8 — 1 at rated (dense_R[uids])
     k: int = 10,
     block: int = 2048,
+    merge: str = "argmax",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-kernel streaming decode + top-k: blocks of the catalog are
     decoded on the MXU and merged into a VMEM-resident (B, k) running top-k
@@ -297,9 +400,16 @@ def fused_topk_scores(
     ``block`` is clamped so the VMEM pool fits the scoped stack
     (_fused_topk_block) — large requested blocks degrade gracefully
     instead of failing to compile.
+
+    ``merge``: 'argmax' = k max-extract rounds over the (B, k+block) pool;
+    'grouped' = hierarchical group-maxima extraction (~2 passes/round
+    instead of ~5, no pool scratch) — bitwise-identical results
+    (tests/test_pallas.py).
     """
     B, D = z.shape
-    block = _fused_topk_block(B, block, k)
+    block = _fused_topk_block(B, block, k, merge)
+    if merge == "grouped":
+        block = _round_up(block, 128)  # grouped view needs 128-lane groups
     I = W.shape[0]
     nblk = -(-I // block)
     Ip = nblk * block
@@ -309,7 +419,19 @@ def fused_topk_scores(
     bpp = jnp.pad(b_prime.astype(jnp.float32), (0, Ip - I),
                   constant_values=-3.0e38).reshape(1, Ip)
     rp = jnp.pad(rated_rows.astype(jnp.int8), ((0, 0), (0, Ip - I)))
-    kernel = functools.partial(_fused_topk_kernel, k=k, block=block)
+    if merge == "grouped":
+        kernel = functools.partial(_fused_topk_kernel_grouped, k=k,
+                                   block=block)
+        scratch = [
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(_fused_topk_kernel, k=k, block=block)
+        scratch = [
+            pltpu.VMEM((B, k + block), jnp.float32),
+            pltpu.VMEM((B, k + block), jnp.int32),
+        ]
     ids, vals = pl.pallas_call(
         kernel,
         out_shape=(
@@ -333,10 +455,7 @@ def fused_topk_scores(
             pl.BlockSpec((B, k), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((B, k + block), jnp.float32),
-            pltpu.VMEM((B, k + block), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Ip * Dp,
             bytes_accessed=(B * Dp + Ip * Dp + B * Ip) * 4,

@@ -31,6 +31,9 @@ def main() -> int:
                     help="comma list of B values")
     ap.add_argument("--blocks", default="2048,8192,16384,32768",
                     help="comma list of catalog block sizes")
+    ap.add_argument("--merge", default="argmax",
+                    help="argmax|grouped (grouped measured slower, "
+                         "see BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -59,14 +62,13 @@ def main() -> int:
                 print(f"B={B:5d} block={block:6d}: clamped to {eff} (seen)")
                 continue
             seen.add(eff)
+            kw = dict(k=10, block=block, merge=args.merge)
             try:
-                ids, vals = fused_topk_scores(z, W, bp, rated,
-                                              k=10, block=block)
+                ids, vals = fused_topk_scores(z, W, bp, rated, **kw)
                 float(jnp.sum(vals))  # warm + compile
                 t0 = time.perf_counter()
                 for _ in range(args.reps):
-                    ids, vals = fused_topk_scores(z, W, bp, rated,
-                                                  k=10, block=block)
+                    ids, vals = fused_topk_scores(z, W, bp, rated, **kw)
                 float(jnp.sum(vals))
                 dt = (time.perf_counter() - t0) / args.reps
                 print(f"B={B:5d} block={block:6d} (eff {eff:6d}): "

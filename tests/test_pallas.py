@@ -263,3 +263,74 @@ def test_fused_topk_block_clamp():
         if prev is not None:
             assert blk <= prev
         prev = blk
+
+
+def test_fused_topk_grouped_matches_argmax(rng_np):
+    """The grouped-merge kernel must reproduce the plain argmax merge (and
+    the dense reference) exactly — ids included — across unaligned
+    catalogs, rated masks, and k values."""
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+    for B, D, I, L, K in ((8, 16, 300, 6, 10), (5, 9, 1000, 40, 3),
+                          (16, 32, 517, 2, 7)):
+        z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+        W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+        bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+        rated = np.zeros((B, I), dtype=np.int8)
+        rl = np.sort(rng_np.choice(I, size=(B, L), replace=False), axis=1)
+        for b in range(B):
+            rated[b, rl[b]] = 1
+        scores = z @ W.T + bp[None, :]
+        ids_ref, vals_ref = topk_unrated(
+            scores, jnp.asarray(rl.astype(np.int32)), K
+        )
+        ids_g, vals_g = fused_topk_scores(
+            z, W, bp, jnp.asarray(rated), k=K, block=256, merge="grouped"
+        )
+        np.testing.assert_allclose(np.asarray(vals_g), np.asarray(vals_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_ref))
+
+
+def test_fused_topk_grouped_fewer_than_k_candidates(rng_np):
+    """Rows where fewer than k items are unrated: the tail must be the NEG
+    sentinel in both merges, with matching ids."""
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+    B, D, I, K = 4, 8, 140, 10
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    rated = np.ones((B, I), dtype=np.int8)
+    rated[0, :5] = 0   # 5 unrated < k
+    rated[1, :] = 0    # everything unrated
+    # rows 2-3: nothing unrated at all
+    ids_a, vals_a = fused_topk_scores(z, W, bp, jnp.asarray(rated),
+                                      k=K, block=128, merge="argmax")
+    ids_g, vals_g = fused_topk_scores(z, W, bp, jnp.asarray(rated),
+                                      k=K, block=128, merge="grouped")
+    np.testing.assert_array_equal(np.asarray(vals_g), np.asarray(vals_a))
+    np.testing.assert_array_equal(np.asarray(ids_g), np.asarray(ids_a))
+
+
+def test_fused_topk_small_block_unaligned(rng_np):
+    """Unaligned catalog + small block exercises the padded tail path."""
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores
+
+    B, D, I, L, K = 8, 16, 1100, 9, 10
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    rated = np.zeros((B, I), dtype=np.int8)
+    rl = np.sort(rng_np.choice(I, size=(B, L), replace=False), axis=1)
+    for b in range(B):
+        rated[b, rl[b]] = 1
+    scores = z @ W.T + bp[None, :]
+    ids_ref, vals_ref = topk_unrated(
+        scores, jnp.asarray(rl.astype(np.int32)), K
+    )
+    ids, vals = fused_topk_scores(z, W, bp, jnp.asarray(rated),
+                                  k=K, block=128)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
