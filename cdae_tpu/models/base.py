@@ -116,11 +116,24 @@ def iter_user_batches_csr(
     batch_size: int,
     bucket_by_length: bool = True,
     max_len_cap: Optional[int] = None,
+    slots_per_batch: Optional[int] = None,
 ) -> Iterator[UserMinibatch]:
     """Stream fixed-size user minibatches straight from a CSR view without
     materializing the full (U, max_len) padded matrix — the O(nnz) memory
     path for huge user counts (BASELINE.json configs 4-5: Netflix-scale /
     10M users). Semantics match iter_user_batches over Interactions.padded().
+
+    ``slots_per_batch`` (token-budget batching): when set, the batch SIZE
+    adapts per length bucket so B·L stays ~= the budget — B =
+    clamp(pow2(slots/L), 8, batch_size), one program shape per bucket.
+    Heavy-tailed degree distributions make this both a throughput and a
+    MEMORY guard: at the config-5 shape a fixed bs4096 batch of the
+    L=1024 bucket materializes (4096, 1024, D) gradient temporaries
+    (~840 MB each) and crashes the device program, while bs4096 on the
+    short buckets is what makes the light 80% of the epoch fast
+    (round 4). Per-user math is batch-size-independent; only the
+    minibatch AdaGrad cadence changes, exactly as with any batch-size
+    choice.
     """
     lengths_all = csr.row_lengths().astype(np.int32)
     U = len(lengths_all)
@@ -130,42 +143,99 @@ def iter_user_batches_csr(
         if bucket_by_length
         else np.arange(U)
     )
-    for start in range(0, U, batch_size):
-        sel = order[start : start + batch_size]
-        pad = batch_size - len(sel)
-        weight = np.ones(batch_size, dtype=np.float32)
+
+    def emit(sel_1d, B):
+        pad = B - len(sel_1d)
+        weight = np.ones(B, dtype=np.float32)
         if pad > 0:
-            sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
-            weight[batch_size - pad :] = 0.0
-        lengths = lengths_all[sel] * weight.astype(np.int32)
+            sel_1d = np.concatenate([sel_1d, np.zeros(pad, sel_1d.dtype)])
+            weight[B - pad:] = 0.0
+        lengths = lengths_all[sel_1d] * weight.astype(np.int32)
         Lmax = max(int(lengths.max()), 1)
         # same bucket rule as the padded path: pow-2, capped at the global
         # max row length (keeps both paths shape- and RNG-identical)
         L = min(ceil_pow2(Lmax), global_max)
         if max_len_cap:
             L = min(L, max_len_cap)
-        items = np.full((batch_size, L), num_items, dtype=np.int32)
-        ratings = np.zeros((batch_size, L), dtype=np.float32)
+        items = np.full((B, L), num_items, dtype=np.int32)
+        ratings = np.zeros((B, L), dtype=np.float32)
         # vectorized ragged copy (live rows only; lengths already weighted)
         counts = np.minimum(lengths, L).astype(np.int64)
         total = int(counts.sum())
         if total:
-            row_of = np.repeat(np.arange(batch_size), counts)
+            row_of = np.repeat(np.arange(B), counts)
             cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
             pos = np.arange(total) - np.repeat(cum0, counts)
-            src = np.repeat(csr.indptr[sel], counts) + pos
+            src = np.repeat(csr.indptr[sel_1d], counts) + pos
             items[row_of, pos] = csr.indices[src]
             ratings[row_of, pos] = csr.values[src]
         lengths = np.minimum(lengths, L)
         mask = np.arange(L)[None, :] < lengths[:, None]
-        yield UserMinibatch(
-            uids=sel.astype(np.int32),
+        return UserMinibatch(
+            uids=sel_1d.astype(np.int32),
             items=items,
             ratings=ratings,
             mask=mask,
             lengths=lengths,
             weight=weight,
         )
+
+    if slots_per_batch:
+        if not bucket_by_length:
+            raise ValueError("slots_per_batch requires bucket_by_length")
+        # one pow-2 length bucket at a time, batch size fit to the budget
+        buckets = np.minimum(
+            np.vectorize(ceil_pow2, otypes=[np.int64])(
+                np.maximum(lengths_all[order], 1)
+            ),
+            min(global_max, max_len_cap or global_max),
+        )
+        start = 0
+        while start < U:
+            Lb = int(buckets[start])
+            end = start + int(np.searchsorted(buckets[start:], Lb, "right"))
+            B = slots_per_batch // max(Lb, 1)
+            B = max(8, min(batch_size, 1 << max(int(B).bit_length() - 1, 3)))
+            for s in range(start, end, B):
+                yield emit(order[s:min(s + B, end)], B)
+            start = end
+        return
+
+    for start in range(0, U, batch_size):
+        yield emit(order[start:start + batch_size], batch_size)
+
+
+def count_user_batches_csr(
+    csr,
+    batch_size: int,
+    max_len_cap: Optional[int] = None,
+    slots_per_batch: Optional[int] = None,
+) -> int:
+    """Number of batches iter_user_batches_csr will yield for the same
+    arguments — computed from the row lengths alone (no batch arrays), so
+    callers can stride/stratify a 10M-user epoch without materializing
+    it."""
+    lengths_all = csr.row_lengths().astype(np.int32)
+    U = len(lengths_all)
+    if not slots_per_batch:
+        return -(-U // batch_size) if U else 0
+    global_max = max(int(lengths_all.max()) if U else 1, 1)
+    buckets = np.minimum(
+        np.vectorize(ceil_pow2, otypes=[np.int64])(
+            np.maximum(np.sort(lengths_all), 1)
+        ),
+        min(global_max, max_len_cap or global_max),
+    )
+    n = 0
+    start = 0
+    while start < U:
+        Lb = int(buckets[start])
+        end = start + int(np.searchsorted(buckets[start:], Lb, "right"))
+        B = slots_per_batch // max(Lb, 1)
+        B = max(8, min(batch_size, 1 << max(int(B).bit_length() - 1, 3)))
+        n += -(-(end - start) // B)
+        start = end
+    return n
 
 
 class RecsysModel:

@@ -10,7 +10,6 @@ Usage: python scripts/scale_smoke.py [--users 10000000 --items 1000000]
 """
 
 import argparse
-import itertools
 import os
 import sys
 import time
@@ -27,9 +26,13 @@ def main() -> int:
     ap.add_argument("--degree", type=int, default=50)
     ap.add_argument("--dim", type=int, default=50)
     ap.add_argument("--batch_size", type=int, default=4096,
-                    help="bs4096 won the round-4 batch scan at 1M items "
-                         "(222k users/s vs 195k bs2048 / 186k bs8192)")
+                    help="MAX batch size; with --slots the per-bucket "
+                         "size adapts to the token budget")
     ap.add_argument("--train_batches", type=int, default=30)
+    ap.add_argument("--slots", type=int, default=262144,
+                    help="token-budget batching: per-bucket batch size "
+                         "fits B*L to this budget (0 = fixed batch_size; "
+                         "fixed bs4096 CRASHES on the L=1024 bucket)")
     ap.add_argument("--eval_batches", type=int, default=3)
     ap.add_argument("--neg_pool", type=int, default=0,
                     help="pooled negatives (CDAEConfig.neg_pool); 0 = exact")
@@ -43,7 +46,10 @@ def main() -> int:
     import jax.numpy as jnp
 
     from bench import synthetic_interactions
-    from cdae_tpu.models.base import iter_user_batches_csr
+    from cdae_tpu.models.base import (
+        count_user_batches_csr,
+        iter_user_batches_csr,
+    )
     from cdae_tpu.models.cdae import CDAE, CDAEConfig
 
     t0 = time.perf_counter()
@@ -67,15 +73,32 @@ def main() -> int:
 
     key = jax.random.PRNGKey(0)
     params = state.params
+    # STRATIFIED batch sample: iter_user_batches_csr sorts users by row
+    # length, so "the first N batches" are the dataset's SHORTEST users —
+    # a bias that grows with user count (measured: the head batches of the
+    # 10M-user table trained 2.4x faster than the same uid count of the
+    # 1M-user table; round-3's head-sampled numbers were inflated the same
+    # way). Taking every (total/N)-th batch across the sorted order makes
+    # the timed mix match the true epoch mix of length buckets.
+    total_b = count_user_batches_csr(
+        state.aux["csr"], args.batch_size,
+        slots_per_batch=args.slots or None,
+    )
+    n_timed = min(args.train_batches, total_b)
+    keep = set(np.linspace(0, total_b - 1, n_timed).round().astype(int))
     batches = [
         tuple(jnp.asarray(x) for x in (b.uids, b.items, b.mask,
                                        b.lengths, b.weight))
-        for b in itertools.islice(
-            iter_user_batches_csr(state.aux["csr"], state.num_items,
-                                  args.batch_size),
-            args.train_batches,
-        )
+        for i, b in enumerate(iter_user_batches_csr(
+            state.aux["csr"], state.num_items, args.batch_size,
+            slots_per_batch=args.slots or None,
+        ))
+        if i in keep
     ]
+    shapes = sorted({tuple(b[1].shape) for b in batches})
+    print(f"# {len(batches)} timed batches spread over {total_b} "
+          f"(length-stratified incl. tail), shapes {shapes}",
+          file=sys.stderr)
     # warm pass: length-bucketed batches have MANY distinct (B, L) shapes
     # and each one compiles its own program (~seconds over the tunnel) —
     # "first batch pays the compile" was wrong and this loop used to

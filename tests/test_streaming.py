@@ -158,3 +158,49 @@ def test_row_update_adagrad_learns(data):
                     seed=3, verbose=False)
     solver.train(train, test, ["TOPN"])
     assert solver.history[-1]["R@10"] > solver.history[0]["R@10"]
+
+
+def test_iter_user_batches_csr_slots_budget():
+    """Token-budget mode: every user appears exactly once, live B*L stays
+    within the budget (down to the min batch of 8), and each user's row
+    content matches the fixed-size iterator's."""
+    import numpy as np
+
+    from cdae_tpu.data.dataset import Interactions
+    from cdae_tpu.models.base import iter_user_batches_csr
+
+    rng = np.random.default_rng(7)
+    U, I = 400, 300
+    # heavy-tailed degrees: a few users rate ~half the catalog
+    degs = np.minimum(1 + rng.geometric(1 / 8.0, U), I - 1)
+    degs[:5] = I // 2
+    users = np.repeat(np.arange(U), degs)
+    items = rng.integers(0, I, len(users))
+    pairs = np.unique(users.astype(np.int64) * I + items)
+    data = Interactions.from_arrays(
+        (pairs // I).astype(np.int32), (pairs % I).astype(np.int32),
+        np.ones(len(pairs), np.float32), num_users=U, num_items=I)
+    csr = data.csr()
+    slots = 512
+    seen = {}
+    for b in iter_user_batches_csr(csr, I, batch_size=64,
+                                   slots_per_batch=slots):
+        B, L = b.items.shape
+        live = int(b.weight.sum())
+        assert B * L <= max(slots, 8 * L), (B, L)
+        for r in range(B):
+            if b.weight[r] == 0:
+                continue
+            u = int(b.uids[r])
+            assert u not in seen
+            seen[u] = set(b.items[r][b.mask[r]].tolist())
+    assert len(seen) == U
+    # content parity vs the fixed-size iterator
+    ref = {}
+    for b in iter_user_batches_csr(csr, I, batch_size=64):
+        B, L = b.items.shape
+        for r in range(B):
+            if b.weight[r] == 0:
+                continue
+            ref[int(b.uids[r])] = set(b.items[r][b.mask[r]].tolist())
+    assert seen == ref
