@@ -131,6 +131,14 @@ class CDAEConfig:
     # the row path pays ~8 serialized gather/scatter passes of B·L row
     # indices). None = OFF; opt in for small-batch or wide-D (table >>
     # batch work) regimes.
+    packed_io: Optional[bool] = None  # sparse path: lane-packed [W | b']
+    # gathers and combined-grad-table scatters (see the pack comment in
+    # _train_step). TPU row gathers/scatters at raw D=50 width run 2-4.5x
+    # below the 64-lane-aligned rate, and the heavy degree tail made them
+    # the whole huge-catalog budget. None = auto (ON for the tied table;
+    # asymmetric/row_update keep the unpacked path). False = off (the
+    # unpacked reference path; trajectories differ at f32 rounding level
+    # because in+out grads pre-add — metric parity tested).
     dtype: Any = jnp.float32
 
 
@@ -565,12 +573,18 @@ def _cdt(cfg: CDAEConfig):
 
 
 def _hidden(
-    params, uids, items, keep_mask, scale, cfg: CDAEConfig
+    params, uids, items, keep_mask, scale, cfg: CDAEConfig, rows=None
 ) -> jnp.ndarray:
-    """z = act(scale·Σ W_i (⊙Uu) + b (+Wu)) (ref cdae.hpp:373-416)."""
+    """z = act(scale·Σ W_i (⊙Uu) + b (+Wu)) (ref cdae.hpp:373-416).
+
+    ``rows`` (optional): pre-gathered W[clip(items)] — the packed-IO train
+    step gathers the rows once from the lane-packed [W|b'] table and
+    reuses them here (row gathers at the raw D=50 width run ~2.3x slower
+    than 64-lane-aligned ones; BASELINE.md round-4 packed-IO note)."""
     cdt = _cdt(cfg)
     kf = keep_mask.astype(cdt)
-    rows = params["W"][jnp.clip(items, 0, params["W"].shape[0] - 1)]
+    if rows is None:
+        rows = params["W"][jnp.clip(items, 0, params["W"].shape[0] - 1)]
     h = jnp.einsum(
         "bld,bl->bd", rows.astype(cdt), kf,
         preferred_element_type=jnp.float32,
@@ -672,23 +686,72 @@ def _train_step(
     w_user = weight.astype(params["W"].dtype)  # (B,)
     mask_f = mask.astype(params["W"].dtype) * w_user[:, None]
 
+    items_c = jnp.clip(items, 0, I - 1)
+    use_row = bool(cfg.row_update)  # None = off (see CDAEConfig.row_update
+    # measurement note — CDAE's fused dense sweep amortizes; MF's doesn't)
+    # ---- lane-packed IO (tied-table path): TPU row gathers/scatters at
+    # the raw D=50 width run FAR below the 64-lane-aligned rate (measured
+    # at a 1M-row table, P=262k rows: scatter 4.9 -> 22.0 M rows/s,
+    # gather 13.4 -> 30.6 M rows/s). Pack [W | b'] into one 64-aligned
+    # table so (a) each index set is gathered ONCE (encode rows == tied
+    # decode rows == W_in rows; b' rides in column D), and (b) all of an
+    # index set's gradients land in ONE packed scatter into a combined
+    # (I, P64) grad table (sliced back apart inside the fused AdaGrad
+    # sweep). Same per-contribution math; f32 summation ORDER differs
+    # (in+out grads pre-added), so trajectories shift at rounding level —
+    # metric parity is unchanged (test_cdae_packed_io).
+    pack = (
+        cfg.packed_io is not False and not cfg.asymmetric and not use_row
+    )
+    if pack:
+        P64 = max(64, -(-(D + 1) // 64) * 64)
+        WB = jnp.concatenate(
+            [
+                params["W"],
+                params["b_prime"][:, None],
+                jnp.zeros((I, P64 - D - 1), params["W"].dtype),
+            ],
+            axis=1,
+        )
+        rows64 = WB[items_c]  # (B, L, P64) — one gather serves all three
+        enc_rows = rows64[..., :D]
+
+        def pack_vals(table_vals, bp_vals):
+            return jnp.concatenate(
+                [
+                    table_vals,
+                    bp_vals[..., None],
+                    jnp.zeros(table_vals.shape[:-1] + (P64 - D - 1,),
+                              table_vals.dtype),
+                ],
+                axis=-1,
+            )
+    else:
+        enc_rows = None
+
     # ---- forward ----
     keep = corruption.corrupt_mask(k_corrupt, mask, cfg.corruption_ratio)
     keep = jnp.logical_and(keep, weight[:, None] > 0)
     keep_f = keep.astype(params["W"].dtype)
     scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
-    z = _hidden(params, uids, items, keep, scale, cfg)  # (B, D)
+    z = _hidden(params, uids, items, keep, scale, cfg, rows=enc_rows)
     dz = _z_one_minus_z(z, cfg)  # (B, D)
 
     # ---- output-side gradients: positives ----
-    pred_pos, dec_pos = _decode_at(params, z, items, cfg)  # (B,L), (B,L,D)
+    if pack:
+        cdt = _cdt(cfg)
+        dec_pos = enc_rows  # tied decoder: same rows as the encoder's
+        pred_pos = jnp.einsum(
+            "bnd,bd->bn", dec_pos.astype(cdt), z.astype(cdt),
+            preferred_element_type=jnp.float32,
+        ).astype(params["W"].dtype) + rows64[..., D]
+    else:
+        pred_pos, dec_pos = _decode_at(params, z, items, cfg)
     g_pos = loss.gradient(pred_pos, 1.0) * mask_f  # ref cdae.hpp:228
 
-    items_c = jnp.clip(items, 0, I - 1)
-    use_row = bool(cfg.row_update)  # None = off (see CDAEConfig.row_update
-    # measurement note — CDAE's fused dense sweep amortizes; MF's doesn't)
     # b': per-touch grad g + λ·b' (ref cdae.hpp:231, :268)
-    bp_pos_vals = (g_pos + lam * params["b_prime"][items_c]) * mask_f
+    bp_pos = rows64[..., D] if pack else params["b_prime"][items_c]
+    bp_pos_vals = (g_pos + lam * bp_pos) * mask_f
     # row mode (CDAEConfig.row_update): collect (rows, vals, live)
     # contributions and apply them as touched-row delta AdaGrad AFTER all
     # gradients are computed from the pre-update params — no (I,)/(I, D)
@@ -697,7 +760,9 @@ def _train_step(
     # then encoder input rows (cdae.hpp:225-293, :333-349).
     bp_contribs = [(items, bp_pos_vals, mask)]
     table_neg_contribs = []  # -> W (tied) or V (asymmetric)
-    if not use_row:
+    if pack:
+        d_G = jnp.zeros((I, P64), params["W"].dtype)  # [d_W | d_b' | 0]
+    elif not use_row:
         d_bp = (
             jnp.zeros((I,), params["b_prime"].dtype)
             .at[items]
@@ -706,7 +771,7 @@ def _train_step(
     # hidden gradient Σ_o g_o · dec_o (ref cdae.hpp:240/248/277/285)
     hidden_grad = jnp.einsum("bl,bld->bd", g_pos, dec_pos)
 
-    if not use_row:
+    if not use_row and not pack:
         d_table_neg = jnp.zeros_like(params["V" if cfg.asymmetric else "W"])
     if cfg.neg_pool:
         # ---- pooled negatives (see CDAEConfig.neg_pool): one shared pool
@@ -717,9 +782,14 @@ def _train_step(
         K = int(cfg.neg_pool)
         k_pool, k_sel = jax.random.split(k_neg)
         pool = jax.random.randint(k_pool, (K,), 0, I, dtype=jnp.int32)
-        dec_table = params["V"] if cfg.asymmetric else params["W"]
-        dec_pool = dec_table[pool]  # (K, D)
-        bp_pool = params["b_prime"][pool]
+        if pack:
+            pool64 = WB[pool]  # one packed gather: rows + b'
+            dec_pool = pool64[:, :D]
+            bp_pool = pool64[:, D]
+        else:
+            dec_table = params["V"] if cfg.asymmetric else params["W"]
+            dec_pool = dec_table[pool]  # (K, D)
+            bp_pool = params["b_prime"][pool]
         cdt = _cdt(cfg)
         pred_pool = jnp.einsum(
             "bd,kd->bk", z.astype(cdt), dec_pool.astype(cdt),
@@ -747,7 +817,9 @@ def _train_step(
         bp_pool_vals = jnp.sum(g_pool, axis=0) + lam * bp_pool * touch
         table_pool_vals = g_pool.T @ z + lam * dec_pool * touch[:, None]
         hidden_grad = hidden_grad + g_pool @ dec_pool
-        if use_row:
+        if pack:
+            d_G = d_G.at[pool].add(pack_vals(table_pool_vals, bp_pool_vals))
+        elif use_row:
             pool_live = jnp.ones((K,), bool)
             bp_contribs.append((pool, bp_pool_vals, pool_live))
             table_neg_contribs.append((pool, table_pool_vals, pool_live))
@@ -765,21 +837,33 @@ def _train_step(
             neg[:, k * L : (k + 1) * L] for k in range(max(cfg.num_neg, 0))
         ]
         for nk in neg_chunks:
-            pred_nk, dec_nk = _decode_at(params, z, nk, cfg)  # (B,L),(B,L,D)
+            if pack:
+                nk_rows64 = WB[jnp.clip(nk, 0, I - 1)]
+                dec_nk = nk_rows64[..., :D]
+                cdt = _cdt(cfg)
+                pred_nk = jnp.einsum(
+                    "bnd,bd->bn", dec_nk.astype(cdt), z.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                ).astype(params["W"].dtype) + nk_rows64[..., D]
+                bp_nk = nk_rows64[..., D]
+            else:
+                pred_nk, dec_nk = _decode_at(params, z, nk, cfg)
+                bp_nk = params["b_prime"][jnp.clip(nk, 0, I - 1)]
             # sentinel id num_items marks an empty complement (user rated
             # the whole catalog) — such slots must carry no gradient, not
             # clip to a real (rated!) item
             nk_live = mask & (nk < I)
             g_nk = loss.gradient(pred_nk, 0.0) * nk_live.astype(mask_f.dtype)
             # ref cdae.hpp:265
-            bp_nk_vals = (
-                g_nk + lam * params["b_prime"][jnp.clip(nk, 0, I - 1)]
-            ) * mask_f
+            bp_nk_vals = (g_nk + lam * bp_nk) * mask_f
             w_nk_vals = (
                 g_nk[..., None] * z[:, None, :] + lam * dec_nk
             ) * mask_f[..., None]
             hidden_grad = hidden_grad + jnp.einsum("bl,bld->bd", g_nk, dec_nk)
-            if use_row:
+            if pack:
+                d_G = d_G.at[nk].add(pack_vals(w_nk_vals, bp_nk_vals),
+                                     mode="drop")
+            elif use_row:
                 bp_contribs.append((nk, bp_nk_vals, nk_live))
                 table_neg_contribs.append((nk, w_nk_vals, nk_live))
             else:
@@ -801,7 +885,7 @@ def _train_step(
         out_vals = (
             g_pos[..., None] * z[:, None, :] + lam * dec_pos
         ) * direct_pos[..., None]
-    if not use_row:
+    if not use_row and not pack:
         if cfg.asymmetric:
             d_V = d_table_neg.at[items].add(out_vals, mode="drop")
             d_W_out = jnp.zeros_like(params["W"])
@@ -815,7 +899,7 @@ def _train_step(
         base = (params["Uu"][uids] * hg) * scale  # (B, D)
     else:
         base = hg * scale
-    W_in_rows = params["W"][items_c]  # (B, L, D)
+    W_in_rows = enc_rows if pack else params["W"][items_c]  # (B, L, D)
     in_grad = (
         base[:, None, :]
         + lam * W_in_rows
@@ -848,6 +932,14 @@ def _train_step(
         for rows, vals, live in bp_contribs:
             row_table_step("b_prime", rows, vals, live)
         row_table_step("W", items, in_grad, keep)
+    elif pack:
+        # positives: out-side + in-side grads share the `items` index set —
+        # pre-add and land them (with the b' grads) in ONE packed scatter
+        d_G = d_G.at[items].add(
+            pack_vals(out_vals + in_grad, bp_pos_vals), mode="drop"
+        )
+        d_W = d_G[:, :D]
+        d_bp = d_G[:, D]
     else:
         d_W = d_W_out + jnp.zeros_like(params["W"]).at[items].add(
             in_grad, mode="drop"

@@ -204,3 +204,43 @@ def test_iter_user_batches_csr_slots_budget():
                 continue
             ref[int(b.uids[r])] = set(b.items[r][b.mask[r]].tolist())
     assert seen == ref
+
+
+def test_cdae_packed_io_matches_unpacked():
+    """packed_io (lane-packed [W|b'] gathers + combined-grad scatters) must
+    produce the same training trajectory as the unpacked path up to f32
+    summation-order rounding: near-identical params after several sparse
+    steps and identical recall after short training."""
+    import numpy as np
+
+    from cdae_tpu.data.dataset import Interactions, movielens_line_parser
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+    from cdae_tpu.solver.solver import Solver
+
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "sample_movielens.txt")
+    data = Interactions.from_text(path, movielens_line_parser)
+    train, test = data.split_by_user(0.2, seed=20141119)
+
+    res = {}
+    params = {}
+    for packed in (False, True):
+        for pool in (None, 16):
+            model = CDAE(CDAEConfig(
+                num_dim=8, loss="SQUARE", corruption_ratio=0.5, scaled=True,
+                num_neg=3, user_factor=True, batch_size=16,
+                packed_io=packed, neg_pool=pool,
+                cache_device_batches=False, use_pallas=False,
+            ))
+            solver = Solver(model, max_iteration=6, eval_iterations=6,
+                            seed=5, verbose=False)
+            solver.train(train, test, ["TOPN"])
+            res[(packed, pool)] = solver.history[-1]["R@10"]
+            params[(packed, pool)] = np.asarray(
+                solver.state.params["W"])
+    for pool in (None, 16):
+        np.testing.assert_allclose(params[(True, pool)],
+                                   params[(False, pool)],
+                                   rtol=2e-3, atol=2e-5)
+        assert abs(res[(True, pool)] - res[(False, pool)]) < 0.02, res
