@@ -796,7 +796,12 @@ def _train_step(
             preferred_element_type=jnp.float32,
         ).astype(z.dtype) + bp_pool[None, :]
         # rated-membership test against the user's (sorted, padded) rows —
-        # fused compare+any, no scatter/search (B·L·K VPU ops)
+        # fused compare+any, no scatter/search (B·L·K VPU ops). NOTE a
+        # per-row vmapped searchsorted (O(B·K·log L) in theory) was tried
+        # round 4 and measured 70x SLOWER end to end (1.5k vs 106k users/s
+        # on the honest config-5 mix): TPU lowers the batched binary
+        # search to serialized gathers, while this compare is one fused
+        # VPU sweep.
         is_rated = jnp.any(
             (items[:, :, None] == pool[None, None, :]) & mask[:, :, None],
             axis=1,
