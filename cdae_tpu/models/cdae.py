@@ -729,8 +729,24 @@ def _train_step(
     else:
         enc_rows = None
 
+    def _uniform(k, shape):
+        # opt-in TPU hardware PRNG (CDAEConfig.fast_rng — same knob and
+        # parity evidence as the dense path's corruption masks)
+        if cfg.fast_rng:
+            from cdae_tpu.ops.pallas_kernels import hw_uniform
+
+            seed = jax.random.key_data(k).ravel()[-1].astype(jnp.int32)
+            return hw_uniform(seed, shape)
+        return jax.random.uniform(k, shape)
+
     # ---- forward ----
-    keep = corruption.corrupt_mask(k_corrupt, mask, cfg.corruption_ratio)
+    if cfg.fast_rng and cfg.corruption_ratio > 0.0:
+        keep = jnp.logical_and(
+            mask, _uniform(k_corrupt, (B, L)) > cfg.corruption_ratio
+        )
+    else:
+        keep = corruption.corrupt_mask(k_corrupt, mask,
+                                       cfg.corruption_ratio)
     keep = jnp.logical_and(keep, weight[:, None] > 0)
     keep_f = keep.astype(params["W"].dtype)
     scale = corruption.input_scale(cfg.corruption_ratio, cfg.scaled)
@@ -813,7 +829,7 @@ def _train_step(
             0.0, 1.0,
         )
         sel = (
-            (jax.random.uniform(k_sel, (B, K)) < q_u[:, None])
+            (_uniform(k_sel, (B, K)) < q_u[:, None])
             & (~is_rated)
             & (weight[:, None] > 0)
         ).astype(z.dtype)

@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--eval_batches", type=int, default=3)
     ap.add_argument("--neg_pool", type=int, default=0,
                     help="pooled negatives (CDAEConfig.neg_pool); 0 = exact")
+    ap.add_argument("--fast_rng", action="store_true",
+                    help="TPU hardware PRNG for corruption + pool "
+                         "selection draws (CDAEConfig.fast_rng)")
     ap.add_argument("--row_update", default="auto",
                     help="CDAEConfig.row_update: auto|true|false "
                          "(touched-rows delta AdaGrad; auto = on past "
@@ -62,6 +65,7 @@ def main() -> int:
         num_neg=5, user_factor=True, batch_size=args.batch_size,
         cache_device_batches=False, use_pallas=False,
         neg_pool=args.neg_pool or None,
+        fast_rng=args.fast_rng,
         row_update=(None if args.row_update == "auto"
                     else args.row_update.lower() in ("1", "true", "yes")),
     ))
