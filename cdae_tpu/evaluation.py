@@ -74,6 +74,16 @@ def _rec_metric_rows_from_ids(
                                   rel_threshold)
 
 
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _pointwise_partial(preds, labels, weight, kind: str):
+    """Masked per-batch error sum (squared for RMSE, absolute for MAE) as a
+    device scalar, so the eval loop can accumulate without host syncs."""
+    err = (preds.astype(jnp.float32) - labels.astype(jnp.float32)) * weight
+    if kind == "RMSE":
+        return jnp.sum(err * err)
+    return jnp.sum(jnp.abs(err))
+
+
 class Evaluation:
     """Base evaluator; use ``Evaluation.create(kind)``."""
 
@@ -122,7 +132,11 @@ class PointwiseEvaluation(Evaluation):
         n = len(validation)
         if n == 0:
             return {self.kind.value: 0.0, "TestTime": t.elapsed()}
-        total = 0.0
+        # Per-batch partial sums stay ON DEVICE; one forced readback at the
+        # end. A per-batch np.asarray costs a ~30 ms tunnel RTT each over
+        # axon — at large validation populations that tax dominated TestTime
+        # (same bias class bench_zoo/scale_smoke fixed in rounds 3-4).
+        total = jnp.zeros((), dtype=jnp.float32)
         bs = self.batch_size
         for start in range(0, n, bs):
             sel = slice(start, min(start + bs, n))
@@ -130,15 +144,18 @@ class PointwiseEvaluation(Evaluation):
             items = validation.items[sel]
             labels = validation.ratings[sel]
             pad = bs - len(users)
+            weight = np.ones(bs, dtype=np.float32)
             if pad > 0:  # keep shapes static for jit
                 users = np.pad(users, (0, pad))
                 items = np.pad(items, (0, pad))
-            preds = np.asarray(model.predict(state, users, items))[: len(labels)]
-            err = preds - labels
-            if self.kind == EvalType.RMSE:
-                total += float(np.sum(err * err))
-            else:
-                total += float(np.sum(np.abs(err)))
+                weight[bs - pad:] = 0.0
+                labels = np.pad(labels, (0, pad))
+            preds = model.predict(state, users, items)
+            total = total + _pointwise_partial(
+                preds, jnp.asarray(labels), jnp.asarray(weight),
+                self.kind.value,
+            )
+        total = float(total)  # single host sync
         val = np.sqrt(total / n) if self.kind == EvalType.RMSE else total / n
         return {self.kind.value: float(val), "TestTime": t.elapsed()}
 
@@ -225,7 +242,12 @@ class RecListEvaluation(Evaluation):
             return out
         if hasattr(model, "pre_recommend"):
             model.pre_recommend(state)  # ref evaluation.hpp:135 hook
-        col_sum = np.zeros(len(self.columns), dtype=np.float64)
+        # Column sums accumulate ON DEVICE across batches; ONE forced
+        # readback per evaluate() call (the per-batch np.asarray paid a
+        # ~30 ms tunnel RTT each — tens of seconds at config-5 validation
+        # populations; ref behavior preserved: evaluation.hpp:160-177 sums
+        # per-user rows then divides once).
+        col_sum_dev = jnp.zeros(len(self.columns), dtype=jnp.float32)
         has_topk = hasattr(model, "batch_topk")
         for (uids, rated_items, rated_mask, val_items, val_ratings,
              val_mask) in batches:
@@ -246,7 +268,8 @@ class RecListEvaluation(Evaluation):
                     scores, rated_items, val_items, val_ratings, val_mask,
                     self.kind.value, self.rel_threshold,
                 )
-            col_sum += np.asarray(jnp.sum(rows, axis=0), dtype=np.float64)
+            col_sum_dev = col_sum_dev + jnp.sum(rows, axis=0)
+        col_sum = np.asarray(col_sum_dev, dtype=np.float64)  # single sync
         out = {
             c: float(v / num_val_users) for c, v in zip(self.columns, col_sum)
         }
