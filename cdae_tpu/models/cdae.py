@@ -734,9 +734,9 @@ def _train_step(
         # parity evidence as the dense path's corruption masks)
         if cfg.fast_rng:
             from cdae_tpu.ops.pallas_kernels import hw_uniform
+            from cdae_tpu.ops.sampling import key_seed
 
-            seed = jax.random.key_data(k).ravel()[-1].astype(jnp.int32)
-            return hw_uniform(seed, shape)
+            return hw_uniform(key_seed(k), shape)
         return jax.random.uniform(k, shape)
 
     # ---- forward ----
@@ -1136,9 +1136,9 @@ def _dense_train_step(
     def uniform(k):
         if cfg.fast_rng:
             from cdae_tpu.ops.pallas_kernels import hw_uniform
+            from cdae_tpu.ops.sampling import key_seed
 
-            seed = jax.random.key_data(k).ravel()[-1].astype(jnp.int32)
-            return hw_uniform(seed, (B_, I_))
+            return hw_uniform(key_seed(k), (B_, I_))
         return jax.random.uniform(k, rows.shape)
 
     # corruption: iid keep w.p. (1-q) (ref cdae.hpp:361-371)

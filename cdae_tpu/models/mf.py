@@ -73,15 +73,20 @@ class MFConfig:
     # num_shared_neg shared negatives (see BPR._dense_step) — opt-in
     # (None = off) until its TPU parity cell is recorded. WARP ignores it
     # for training (its dense violator path is a separate mechanism).
-    num_shared_neg: int = 32  # BPR dense slab only: shared negative draws
-    # per user per epoch, each EXACTLY uniform over the user's unrated
-    # items (rank-select of the u-th zero of the dense row — no rejection,
-    # no zero-weighted dead draws). Each positive pairs with ALL M draws at
-    # weight num_neg/M — an unbiased estimator of the reference's num_neg
-    # independent per-positive draws (same conditional distribution), with
-    # lower per-positive variance and every gather/scatter restructured
-    # into (B,I)x(I,D) MXU matmuls. Users with an empty complement (rated
-    # the whole catalog) contribute nothing, as in the reference.
+    num_shared_neg: int = 32  # BPR dense slab only: M shared negative
+    # draws per user per epoch, drawn uniform over the CATALOG with rated
+    # hits zero-weighted; surviving pairs are reweighted num_neg/M_live
+    # (M_live = unrated draws). If ALL M draws land on rated items, one
+    # exact rank-select rescue draw (the u-th zero of the dense row) is
+    # substituted via lax.cond so the user still contributes — no
+    # fully-dead users, though individual rated draws are still dropped.
+    # Each positive pairs with the shared live draws — an unbiased
+    # estimator of the reference's num_neg independent per-positive
+    # complement draws (same conditional distribution given liveness),
+    # with lower per-positive variance and every gather/scatter
+    # restructured into (B,I)x(I,D) MXU matmuls. Users with an empty
+    # complement (rated the whole catalog) contribute nothing, as in the
+    # reference.
     fast_rng: Optional[bool] = None  # TPU hardware PRNG (see
     # CDAEConfig.fast_rng) for the dense negative masks AND the sparse-path
     # samplers (complement draws, WARP geometric/violator draws); None = off.

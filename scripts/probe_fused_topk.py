@@ -57,7 +57,7 @@ def main() -> int:
         rated = jnp.asarray(rated)
         seen = set()
         for block in [int(x) for x in args.blocks.split(",")]:
-            eff = _fused_topk_block(B, block, 10)
+            eff = _fused_topk_block(B, block, 10, args.merge)
             if eff in seen:  # clamped onto an already-measured point
                 print(f"B={B:5d} block={block:6d}: clamped to {eff} (seen)")
                 continue

@@ -304,11 +304,12 @@ def test_warp_pool_csr_matches_mask_path(splits):
         assert np.array_equal(runs[0][k], runs[1][k]), k
 
 
-def test_bpr_dense_shared_negs_exact_complement(splits):
-    """BPR._dense_step draws are exactly uniform over each user's unrated
-    items: every draw must miss the rated set even at num_shared_neg=1 on
-    a very dense user (the old uniform-over-catalog scheme zero-weighted
-    rated hits and could drop such users entirely — ADVICE r3)."""
+def test_bpr_dense_shared_negs_rescue_draw(splits):
+    """BPR._dense_step never drops a user with a non-empty complement:
+    draws are catalog-uniform with rated hits zero-weighted, but when ALL
+    M draws land rated a single exact rank-select rescue draw substitutes
+    (lax.cond), so even a 97%-dense user at num_shared_neg=1 updates every
+    step (pre-ADVICE-r3 the all-rated-draws case dropped the user)."""
     import functools
     from cdae_tpu.models.mf import BPR as _BPR
 
