@@ -37,6 +37,17 @@ class GroupedInstances:
     def __len__(self) -> int:
         return self.idx.shape[0]
 
+    def head(self, n: int) -> "GroupedInstances":
+        """First-n instance view — the data_loss(sample_size) subsampling
+        unit (ref linear_model.hpp:51-54 loops the first sample_size
+        instances in dataset order)."""
+        n = min(int(n), len(self))
+        return GroupedInstances(
+            idx=self.idx[:n], vals=self.vals[:n], mask=self.mask[:n],
+            labels=self.labels[:n], group_of=self.group_of,
+            group_dims=self.group_dims, total_dim=self.total_dim,
+        )
+
     @property
     def num_slots(self) -> int:
         return self.idx.shape[1]

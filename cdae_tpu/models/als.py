@@ -189,7 +189,7 @@ class ALS(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
         return 0.0  # ref als.hpp uses base data_loss; wrmf.hpp:59-61 returns 0
 
     def penalty_loss(self, state) -> float:

@@ -249,10 +249,17 @@ class RecsysModel:
     def train_one_iteration(self, state, rng_key):
         raise NotImplementedError
 
-    def current_loss(self, state) -> float:
-        return self.data_loss(state) + self.penalty_loss(state)
+    def current_loss(self, state, sample_size: int = 0) -> float:
+        """data_loss + penalty_loss (ref model_base.hpp:28-33; the
+        ``sample_size`` knob forwards to data_loss)."""
+        return self.data_loss(state, sample_size) + self.penalty_loss(state)
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        """Training-data loss estimate. ``sample_size`` > 0 restricts the
+        estimate to the first sample_size instances, 0 = the full dataset
+        (ref model_base.hpp:35-39; honored by LinearModel/FactorModel per
+        linear_model.hpp:45-54 / factor_model.hpp:52-61, accepted and
+        ignored elsewhere exactly like the reference, e.g. cdae.hpp:78)."""
         return 0.0
 
     def penalty_loss(self, state) -> float:

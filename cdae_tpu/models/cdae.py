@@ -425,7 +425,8 @@ class CDAE(RecsysModel):
         return state
 
     # -------------------------------------------------------------- loss ----
-    def data_loss(self, state: CDAEState, rng_key=None) -> float:
+    def data_loss(self, state: CDAEState, sample_size: int = 0,
+                  rng_key=None) -> float:
         """Reconstruction loss over positives under fresh corruption
         (ref cdae.hpp:78-101)."""
         if rng_key is None:

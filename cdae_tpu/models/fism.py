@@ -209,7 +209,7 @@ class FISM(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
         return 0.0  # FISM trains via SGD solver; loss column unused in ref
 
     def penalty_loss(self, state) -> float:

@@ -160,8 +160,12 @@ class LinearModel(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        """Loss over the first ``sample_size`` instances (0 = all), matching
+        the reference's subsampling knob (ref linear_model.hpp:45-59)."""
         gi: GroupedInstances = state.aux["instances"]
+        if sample_size > 0:
+            gi = gi.head(sample_size)
         preds = self._predict_instances(state, gi)
         return float(
             jnp.sum(self.loss.evaluate(preds, jnp.asarray(gi.labels)))
@@ -264,8 +268,11 @@ class FactorModel(LinearModel):
         self._group_of = gi.group_of
         return state
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        """First-``sample_size`` subsampled loss (ref factor_model.hpp:52-61)."""
         gi: GroupedInstances = state.aux["instances"]
+        if sample_size > 0:
+            gi = gi.head(sample_size)
         preds = self._predict_instances(state, gi)
         return float(jnp.sum(self.loss.evaluate(preds, jnp.asarray(gi.labels))))
 
@@ -601,8 +608,8 @@ class NegMF(FactorModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
-        return 0.0  # ref neg_mf.hpp:66-72
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return 0.0  # ref neg_mf.hpp:64-66 (sample_size accepted, unused)
 
     def penalty_loss(self, state) -> float:
         return 0.0

@@ -535,7 +535,10 @@ class _MFBase(RecsysModel):
         return params
 
     # -- losses ---------------------------------------------------------------
-    def data_loss(self, state: ModelState) -> float:
+    def data_loss(self, state: ModelState, sample_size: int = 0) -> float:
+        # sample_size accepted-and-ignored (the reference MF family inherits
+        # ModelBase's no-op data_loss; ours computing a real loss is already
+        # a superset — model_base.hpp:35-39)
         users, items, ratings = state.aux["coo"]
         return float(
             self._jit_loss(

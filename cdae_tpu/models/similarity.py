@@ -226,7 +226,7 @@ class SimilarityBase(RecsysModel):
     def train_one_iteration(self, state, rng_key):
         return state  # ref similarity_base.hpp:117-119: no-op
 
-    def data_loss(self, state) -> float:
+    def data_loss(self, state, sample_size: int = 0) -> float:
         return 0.0  # ref similarity_base.hpp:101-104
 
 

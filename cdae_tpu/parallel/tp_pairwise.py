@@ -420,8 +420,8 @@ class ShardedMFTP(RecsysModel):
         return state
 
     # -------------------------------------------------------- loss / eval ---
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)  # gathers by real id: pad inert
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)  # gathers by real id: pad inert
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)  # zero pad rows: zero penalty

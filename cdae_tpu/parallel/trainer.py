@@ -128,8 +128,8 @@ class ShardedCDAE(RecsysModel):
         return state
 
     # -------------------------------------------------------- loss / eval ---
-    def data_loss(self, state: CDAEState) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state: CDAEState, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state: CDAEState) -> float:
         return self.inner.penalty_loss(state)
@@ -233,8 +233,8 @@ class ShardedIMF(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)
@@ -327,8 +327,8 @@ class ShardedFISM(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)
@@ -439,8 +439,8 @@ class ShardedALS(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)
@@ -527,8 +527,8 @@ class ShardedNegMF(RecsysModel):
     def set_learn_rate(self, lr: float) -> None:
         self.inner.set_learn_rate(lr)
 
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)
@@ -673,8 +673,8 @@ class ShardedPairwise(RecsysModel):
         state.step += 1
         return state
 
-    def data_loss(self, state) -> float:
-        return self.inner.data_loss(state)
+    def data_loss(self, state, sample_size: int = 0) -> float:
+        return self.inner.data_loss(state, sample_size)
 
     def penalty_loss(self, state) -> float:
         return self.inner.penalty_loss(state)

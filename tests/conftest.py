@@ -21,6 +21,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-process / long-running tests (run explicitly with "
+        "-m slow or by file)",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20141119)

@@ -98,6 +98,32 @@ def test_linear_model_rmse(splits):
     assert hist[-1]["RMSE"] < 1.5 and hist[-1]["MAE"] < 1.2
 
 
+def test_data_loss_sample_size(splits):
+    """data_loss(sample_size) restricts to the FIRST sample_size instances
+    in dataset order (ref linear_model.hpp:45-59 / model_base.hpp:35-39);
+    0 = full dataset; models that ignore it still accept the knob."""
+    train, _ = splits
+    model = LinearModel(LinearModelConfig(learn_rate=0.1, batch_size=64))
+    state = model.reset(train, seed=0)
+    full = model.data_loss(state)
+    assert model.data_loss(state, 0) == full
+    sub = model.data_loss(state, 10)
+    assert 0.0 < sub < full
+    # monotone in sample_size (losses are non-negative per instance)
+    assert sub <= model.data_loss(state, 50) <= full
+    # oversized sample clamps to the dataset (ref loops min(n, sample))
+    assert model.data_loss(state, 10**9) == pytest.approx(full)
+    # current_loss forwards the knob
+    assert model.current_loss(state, 10) == pytest.approx(
+        sub + model.penalty_loss(state))
+    # accept-and-ignore surface (ref cdae.hpp:78, neg_mf.hpp:64)
+    from cdae_tpu.models.cdae import CDAE, CDAEConfig
+    cmodel = CDAE(CDAEConfig(num_dim=4, batch_size=32))
+    cstate = cmodel.reset(train, seed=0)
+    assert cmodel.data_loss(cstate, 10) == pytest.approx(
+        cmodel.data_loss(cstate, 0))
+
+
 def test_factor_model_rmse(splits):
     train, test = splits
     model = FactorModel(FactorModelConfig(num_dim=4, learn_rate=0.1,
