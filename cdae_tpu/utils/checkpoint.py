@@ -3,11 +3,20 @@
 The reference persists only datasets (gzip boost archives,
 ref src/base/io/serialize.hpp:16-46); models always retrain from reset
 (SURVEY §5 "Checkpoint/resume"). This module adds real model checkpoints:
-parameters + optimizer accumulators + step counter, written atomically as a
-compressed npz with a JSON manifest. Works for every model in the zoo (all
-states are flat dicts of arrays). Sharded arrays are gathered to host before
-saving (orbax-style per-shard checkpointing can layer on later; process 0
-writes).
+parameters + optimizer accumulators + step counter. Two formats:
+
+  npz (save_checkpoint/load_checkpoint) — single-host: arrays gathered to
+  host, process 0 writes one atomic compressed npz + JSON manifest.
+
+  orbax (save_sharded/load_sharded) — multi-host scale: EVERY process
+  writes its own addressable shards (no host gather, no process-0
+  full-table materialization) and restore re-shards onto the mesh; the
+  rng_key/fingerprint manifest lives in a process-0 sidecar JSON. This is
+  the SURVEY §5 "orbax-style sharded arrays + accumulators + RNG state"
+  path for the config-5 regime (1M-item tables x D + AdaGrad accumulators
+  over N hosts).
+
+Works for every model in the zoo (all states are flat dicts of arrays).
 """
 
 from __future__ import annotations
@@ -156,8 +165,17 @@ def checkpoint_rng_key(path: str):
 # gathers to process 0) cannot serve.
 
 
-def save_sharded(path: str, state: ModelState, force: bool = True) -> None:
-    """Persist a (possibly sharded) ModelState via orbax PyTree checkpoint."""
+def save_sharded(path: str, state: ModelState, force: bool = True,
+                 rng_key=None, fingerprint: Optional[str] = None,
+                 extra: Optional[dict] = None) -> None:
+    """Persist a (possibly sharded) ModelState via orbax PyTree checkpoint.
+
+    EVERY process calls this: orbax writes only each process's addressable
+    shards (no host gather, no process-0 full-table materialization — the
+    multi-host path SURVEY §5's checkpoint spec requires). ``rng_key`` /
+    ``fingerprint`` / ``extra`` land in a process-0 sidecar manifest so a
+    sharded checkpoint is exactly resumable like the npz format.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -170,10 +188,43 @@ def save_sharded(path: str, state: ModelState, force: bool = True) -> None:
                       "num_items": state.num_items}},
             force=force,
         )
+    if jax.process_index() == 0:
+        manifest = {"version": _FORMAT_VERSION, "step": state.step,
+                    "extra": extra or {}}
+        if rng_key is not None:
+            manifest["rng_key"] = np.asarray(rng_key).tolist()
+        if fingerprint is not None:
+            manifest["fingerprint"] = fingerprint
+        with open(os.path.join(path, "cdae_manifest.json"), "w") as f:
+            json.dump(manifest, f)
 
 
-def load_sharded(path: str, state: ModelState) -> ModelState:
+def sharded_manifest(path: str) -> dict:
+    """The sidecar manifest of a sharded checkpoint (rng_key, fingerprint,
+    step, extra) — {} for checkpoints written before the manifest existed."""
+    p = os.path.join(os.path.abspath(path), "cdae_manifest.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def sharded_rng_key(path: str):
+    """The solver PRNG stream value stored at save time (or None)."""
+    import jax.numpy as jnp
+
+    key = sharded_manifest(path).get("rng_key")
+    return None if key is None else jnp.asarray(np.asarray(key, np.uint32))
+
+
+def load_sharded(path: str, state: ModelState,
+                 expect_fingerprint: Optional[str] = None) -> ModelState:
     """Restore into a reset ModelState, preserving each param's sharding.
+
+    Each process reads back only its own shards (orbax re-shards onto the
+    abstract shardings taken from ``state.params``); no full-table host
+    materialization. With ``expect_fingerprint`` the sidecar manifest's
+    fingerprint must match (same refusal semantics as load_checkpoint).
 
     Note: orbax requires sharded dims divisible by the mesh axis size (pad
     user/item counts to mesh multiples for uneven tables; the npz format has
@@ -183,6 +234,13 @@ def load_sharded(path: str, state: ModelState) -> ModelState:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    stored_fp = sharded_manifest(path).get("fingerprint")
+    if expect_fingerprint and stored_fp and stored_fp != expect_fingerprint:
+        raise ValueError(
+            f"checkpoint fingerprint {stored_fp} does not match the "
+            f"current model/config/data ({expect_fingerprint}); refusing "
+            "to resume a different experiment"
+        )
     abstract = {
         "params": {
             k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=v.sharding)

@@ -242,6 +242,55 @@ def test_sharded_checkpoint_roundtrip(tmp_path, movielens_path):
         assert state2.params[k].sharding == state.params[k].sharding
 
 
+def test_sharded_checkpoint_exact_resume(tmp_path, movielens_path):
+    """Sharded (orbax) checkpoint + sidecar rng manifest gives BITWISE exact
+    resume on the mesh: train 2 epochs, save with the stream key, restore
+    into a fresh state, train epoch 3 — identical to never having stopped.
+    Fingerprint mismatch refuses to resume, like the npz format."""
+    import jax
+    from cdae_tpu.parallel.mesh import make_mesh
+    from cdae_tpu.parallel.trainer import ShardedCDAE
+
+    rng = np.random.default_rng(1)
+    pairs = np.unique(rng.integers(0, 32 * 64, 600))
+    train = Interactions.from_arrays(
+        (pairs // 64).astype(np.int32), (pairs % 64).astype(np.int32),
+        num_users=32, num_items=64,
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    cfg = CDAEConfig(num_dim=8, batch_size=16, loss="SQUARE",
+                     corruption_ratio=0.2, num_neg=2, use_pallas=False)
+
+    def fresh():
+        m = ShardedCDAE(cfg, mesh=mesh)
+        return m, m.reset(train, seed=3)
+
+    model, state = fresh()
+    key = jax.random.PRNGKey(11)
+    keys = jax.random.split(key, 3)
+    state = model.train_one_iteration(state, keys[0])
+    state = model.train_one_iteration(state, keys[1])
+    path = str(tmp_path / "resume_ckpt")
+    fp = ckpt.config_fingerprint(model, state)
+    ckpt.save_sharded(path, state, rng_key=keys[2], fingerprint=fp)
+    # unbroken run: one more epoch
+    state = model.train_one_iteration(state, keys[2])
+
+    model2, state2 = fresh()
+    with pytest.raises(ValueError, match="fingerprint"):
+        ckpt.load_sharded(path, state2, expect_fingerprint="deadbeef")
+    state2 = ckpt.load_sharded(path, state2, expect_fingerprint=fp)
+    assert state2.step == 2
+    k_resume = ckpt.sharded_rng_key(path)
+    np.testing.assert_array_equal(np.asarray(k_resume), np.asarray(keys[2]))
+    state2 = model2.train_one_iteration(state2, k_resume)
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(state.params[k]), np.asarray(state2.params[k]),
+            err_msg=k,
+        )
+
+
 def test_sweep_paper_grid_matches_reference_script():
     """paper_grid must enumerate ref apps/yelp/cdae.sh:3-25 exactly:
     192 points, loops nested in script order (LOSS innermost)."""
