@@ -198,6 +198,14 @@ class RecListEvaluation(Evaluation):
         val_users = np.nonzero(np.diff(val_csr.indptr) > 0)[0].astype(
             np.int32
         )
+        # order by TRAIN row length: each batch's padded (B, L) rated rows
+        # tighten to its own bucket's max, so the models' per-batch encode
+        # gathers O(B·L_bucket) rows instead of O(B·L_global-max) — at
+        # heavy-tailed degree distributions the padded gather was a large
+        # share of serving time (round 5). Metric sums are order-invariant
+        # (each user contributes one row; ref evaluation.hpp:160-166).
+        tl = np.diff(train_csr.indptr)[val_users]
+        val_users = val_users[np.argsort(tl, kind="stable")]
         batches = []
         # clamp to the validation population (next pow2): a 25-user fixture
         # must not pad every batch to 1024 rows

@@ -209,8 +209,33 @@ def hw_uniform(
 
 # --------------------------------------------- fused decode+top-k (Pallas) --
 
+def _mask_rated_scores(scores, r_ref, B: int, block: int, csr_w: int):
+    """NEG-out rated columns of a (B, block) score tile.
+
+    csr_w == 0: dense mode — r_ref is a streamed (B, block) int8 tile of
+    the rated mask (int8 compare unsupported on this Mosaic target —
+    widen first).
+
+    csr_w > 0: CSR mode — r_ref is a (B, csr_w) int32 tile of LOCAL
+    column ids rated in this block (-1 = empty slot), built by
+    csr_block_queries. csr_w static compare+select passes over the tile;
+    per the Mosaic notes the per-slot column is taken by slicing the
+    loaded VALUE (ref slices hang the remote compiler)."""
+    NEG = jnp.float32(-3.0e38)
+    if csr_w == 0:
+        return jnp.where(r_ref[:].astype(jnp.float32) > 0.0, NEG, scores)
+    # streamed as a (1, B, csr_w) leading-axis block; drop the unit dim
+    q = r_ref[:].reshape(B, csr_w)  # int32 local cols, -1 = none
+    colsb = jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
+    for t in range(csr_w):
+        qt = jax.lax.slice(q, (0, t), (B, t + 1))  # (B, 1)
+        scores = jnp.where(colsb == qt, NEG, scores)
+    return scores
+
+
 def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
-                       pool_vals, pool_ids, *, k: int, block: int):
+                       pool_vals, pool_ids, *, k: int, block: int,
+                       csr_w: int = 0):
     """One catalog block: decode scores on the MXU, mask rated, merge into
     the VMEM-resident running top-k via k max-extract rounds (no sort —
     Mosaic-friendly).
@@ -236,8 +261,7 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bp_ref[:]
-    # int8 compare is unsupported on this Mosaic target — widen first
-    scores = jnp.where(r_ref[:].astype(jnp.float32) > 0.0, NEG, scores)
+    scores = _mask_rated_scores(scores, r_ref, B, block, csr_w)
     pool_vals[:, k:] = scores
     pool_ids[:, k:] = j * block + jax.lax.broadcasted_iota(
         jnp.int32, (B, block), 1
@@ -270,7 +294,7 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
 
 def _fused_topk_kernel_grouped(z_ref, w_ref, bp_ref, r_ref, ids_ref,
                                vals_ref, run_vals, run_ids, *, k: int,
-                               block: int):
+                               block: int, csr_w: int = 0):
     """Grouped-merge variant: ~2 VPU passes per extraction round instead of
     the plain kernel's ~5 (max+argmax+consume over the whole pool).
 
@@ -295,8 +319,7 @@ def _fused_topk_kernel_grouped(z_ref, w_ref, bp_ref, r_ref, ids_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bp_ref[:]
-    # int8 compare is unsupported on this Mosaic target — widen first
-    scores = jnp.where(r_ref[:].astype(jnp.float32) > 0.0, NEG, scores)
+    scores = _mask_rated_scores(scores, r_ref, B, block, csr_w)
     # group maxima via a minor-axis (lane) reduction — the only 3D op
     gm = jnp.max(scores.reshape(B, G, 128), axis=2)  # (B, G)
 
@@ -358,29 +381,158 @@ def _fused_topk_kernel_grouped(z_ref, w_ref, bp_ref, r_ref, ids_ref,
 
 
 def _fused_topk_block(B: int, block: int, k: int,
-                      merge: str = "argmax") -> int:
+                      merge: str = "argmax", csr_w: int = 0) -> int:
     """Largest catalog block <= ``block`` whose kernel VMEM frame fits the
     scoped stack. Frame model (bytes) for the argmax merge: pool scratch
     8·B·(k+block) (f32 vals + i32 ids) + double-buffered streamed tiles:
-    W (2·4·128·block) and the int8 rated mask (2·B·block). Measured
-    feasibility at a 1M-item catalog (round 4): (B=256, blk=2048) and
-    (512, 1024) compile; (256, 4096), (512, 2048) and (1024, 1024) hit the
-    16 MB scoped-vmem limit — an 8 MB frame budget separates the two sets
-    with margin. The grouped merge has no (B, k+block) pool — its frame is
-    the f32 scores value (4·B·block) + the same streamed tiles."""
+    W (2·4·128·block) and the rated-exclusion input — the int8 mask tile
+    (2·B·block) in dense mode, or the compact (B, csr_w) int32 query tile
+    (2·4·B·csr_w, tiny) in CSR mode, which frees budget for a LARGER
+    block (fewer grid steps — the ~16 µs/step fixed cost was ~7.7 ms of
+    the 1M-item kernel at block 2048). Measured feasibility at a 1M-item
+    catalog (round 4): (B=256, blk=2048) and (512, 1024) compile; (256,
+    4096), (512, 2048) and (1024, 1024) hit the 16 MB scoped-vmem limit —
+    an 8 MB frame budget separates the two sets with margin. The grouped
+    merge has no (B, k+block) pool — its frame is the f32 scores value
+    (4·B·block) + the same streamed tiles."""
     budget = 8 * 2**20
     b = max(B, 1)
     blk = 128  # lane-tile floor; huge B degrades rather than OOMs
     while True:
         nxt = blk + 128
+        rated = 8 * b * csr_w if csr_w else 2 * b * nxt
         if merge == "grouped":
-            frame = 4 * b * nxt + 1024 * nxt + 2 * b * nxt
+            # ~3 live (B, block) f32 values per round (scores + masked
+            # gather + repair temp): measured scoped frame 16.17M at
+            # (B=256, blk=3968, csr) — 12·b·blk + W tiles + 172K over the
+            # 16M limit; the old 4·b·blk model OOM'd there (round 5)
+            frame = 12 * b * nxt + 1024 * nxt + rated
         else:
-            frame = 8 * b * (k + nxt) + 1024 * nxt + 2 * b * nxt
+            frame = 8 * b * (k + nxt) + 1024 * nxt + rated
         if frame > budget or nxt > block:
             break
         blk = nxt
     return min(block, blk)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_items", "block", "w")
+)
+def csr_block_queries(
+    rated_items: jnp.ndarray,  # (B, L) int32, sorted asc, pad >= num_items
+    num_items: int,
+    block: int,
+    w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact per-(row, catalog-block) rated-column lists for the CSR
+    fused top-k: (B, nblk·w) int32 of LOCAL column ids (-1 = empty slot),
+    plus an overflow flag (some (row, block) holds > w rated entries — the
+    caller must fall back to an exact path for this batch).
+
+    Rows are sorted, so each block's entries are a contiguous span:
+    span starts come from one vmapped binary search against the uniform
+    block boundaries, then a take_along_axis spread into the (nblk, w)
+    layout. NOTE (measured, round 5, B=256/L=1024/1M items): on TPU this
+    in-jit build costs ~105 ms — the vmapped searchsorted is ~52 ms
+    (method='sort' 13 ms) and the take_along_axis gather ~100 ms; a
+    scatter-based build is ~13 ms. ALL of them lose to building qd ON THE
+    HOST once per cached eval batch (csr_block_queries_np, ~1 ms numpy,
+    amortized to zero across eval cadences) — serving paths should pass
+    the precomputed ``qd`` into fused_topk_scores_csr and use this jit
+    version only for one-shot/in-jit callers.
+    """
+    B, L = rated_items.shape
+    nblk = -(-num_items // block)
+    # pads (>= num_items) -> a sentinel past every block boundary so they
+    # can never inflate the last block's count
+    r = jnp.where(rated_items < num_items, rated_items,
+                  jnp.int32(2_000_000_000))
+    bounds = jnp.arange(nblk + 1, dtype=jnp.int32) * block
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(r).astype(jnp.int32)  # (B, nblk+1)
+    cnt = starts[:, 1:] - starts[:, :-1]  # (B, nblk)
+    overflow = jnp.any(cnt > w)
+    wslots = jnp.arange(w, dtype=jnp.int32)
+    l_idx = starts[:, :nblk, None] + wslots[None, None, :]  # (B, nblk, w)
+    valid = wslots[None, None, :] < cnt[:, :, None]
+    g = jnp.take_along_axis(
+        r, jnp.clip(l_idx, 0, L - 1).reshape(B, nblk * w), axis=1
+    ).reshape(B, nblk, w)
+    local = g - bounds[:nblk][None, :, None]
+    qd = jnp.where(valid, local, jnp.int32(-1))
+    return qd.reshape(B, nblk * w), overflow
+
+
+def fused_topk_csr_plan(B: int, k: int = 10, block: int = 4096,
+                        merge: str = "argmax") -> int:
+    """The catalog block fused_topk_scores_csr will actually use for these
+    parameters — host qd builders MUST build with this block or the
+    kernel's per-block query tiles won't line up. w-independent by
+    construction (the clamp budgets the w cap)."""
+    blk = _fused_topk_block(B, block, k, merge, csr_w=64)
+    if merge == "grouped":
+        blk = _round_up(blk, 128)
+    return blk
+
+
+def csr_block_queries_np(
+    rated_items: "np.ndarray",  # (B, L) int32, sorted asc, pad >= num_items
+    num_items: int,
+    block: int,
+    w: Optional[int] = None,
+    w_cap: int = 64,
+):
+    """Host (numpy) construction of the CSR fused top-k's per-block query
+    lists — the serving path's builder: eval batches are cached across
+    cadences, so this runs ONCE per batch and the device sees only the
+    finished (B, nblk·w) array.
+
+    ``w=None`` auto-sizes: w = max(8, pow2(max per-(row, block) count)),
+    capped at ``w_cap`` — with realistic degree tails a FIXED w=8
+    overflows almost every batch (B·nblk Poisson cells; one >8 count in
+    ~100k cells is near-certain at 1M items/B=256 — measured round 5),
+    while the true max is usually just 9-16; the kernel's masking cost is
+    linear in w so paying only what the batch needs is strictly better
+    than a large fixed w. Returns (qd (B, nblk·w), w, overflow); on
+    overflow (max count > w) the caller must use an exact fallback path.
+    """
+    import numpy as np
+
+    B, L = rated_items.shape
+    nblk = -(-num_items // block)
+    bounds = np.arange(nblk + 1, dtype=np.int64) * block
+    rows, blks, ranks = [], [], []
+    max_cnt = 0
+    for b in range(B):
+        row = rated_items[b]
+        row = row[row < num_items]
+        if len(row) == 0:
+            rows.append(row)
+            blks.append(row)
+            ranks.append(row)
+            continue
+        starts = np.searchsorted(row, bounds)
+        blk = row // block
+        rank = np.arange(len(row)) - starts[blk]
+        max_cnt = max(max_cnt, int(rank.max()) + 1)
+        rows.append(row)
+        blks.append(blk)
+        ranks.append(rank)
+    if w is None:
+        w = max(8, 1 << (max(max_cnt, 1) - 1).bit_length())
+        w = min(w, w_cap)
+    overflow = max_cnt > w
+    qd = np.full((B, nblk, w), -1, np.int32)
+    for b in range(B):
+        row, blk, rank = rows[b], blks[b], ranks[b]
+        if len(row) == 0:
+            continue
+        if overflow:
+            keep = rank < w
+            blk, rank, row = blk[keep], rank[keep], row[keep]
+        qd[b, blk, rank] = row - blk * block
+    return qd.reshape(B, nblk * w), w, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block", "merge"))
@@ -464,6 +616,118 @@ def fused_topk_scores(
         interpret=_use_interpret(),
     )(zp, Wp, bpp, rp)
     return ids, vals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block", "w", "merge", "fallback"))
+def fused_topk_scores_csr(
+    z: jnp.ndarray,  # (B, D) hidden codes
+    W: jnp.ndarray,  # (I, D) decoder table
+    b_prime: jnp.ndarray,  # (I,)
+    rated_items: jnp.ndarray,  # (B, L) int32 sorted asc, padded with >= I
+    k: int = 10,
+    block: int = 4096,
+    w: int = 8,
+    merge: str = "argmax",
+    fallback: str = "streaming",
+    qd: Optional[jnp.ndarray] = None,  # precomputed (B, nblk·w) query
+    # lists (csr_block_queries_np with THIS function's clamped block —
+    # fused_topk_block_csr); skips the expensive in-jit build. The caller
+    # owns overflow routing (host builder returns the flag).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_topk_scores with the rated exclusion fused from the PADDED CSR
+    ROWS — no (B, I) dense mask anywhere (ref behavior: cdae.hpp:176-186
+    skips rated ids during the full-catalog scan).
+
+    csr_block_queries turns the sorted rows into per-block compact local
+    column lists (w slots per block); the kernel NEG-masks them in ``w``
+    value-slice compare passes per tile. Freed VMEM (no streamed int8 mask
+    tile) buys a bigger catalog block — fewer grid steps. Exactness for
+    ANY w: if some (row, block) holds more than w rated entries, a
+    lax.cond falls back to the XLA streaming scan for the whole batch
+    (``fallback="streaming"``; "none" skips the guard — overflow rows may
+    then recommend rated items, test-only).
+    """
+    B, D = z.shape
+    # clamp with the w CAP (64), not the actual w: the chosen block must
+    # be identical for every w so host-built qd (fused_topk_csr_plan,
+    # which runs before the batch's w is known) always lines up
+    block = _fused_topk_block(B, block, k, merge, csr_w=64)
+    if merge == "grouped":
+        block = _round_up(block, 128)  # grouped view needs 128-lane groups
+    I = W.shape[0]
+    nblk = -(-I // block)
+    Ip = nblk * block
+    Dp = _round_up(D, 128)
+    zp = jnp.pad(z.astype(jnp.float32), ((0, 0), (0, Dp - D)))
+    Wp = jnp.pad(W.astype(jnp.float32), ((0, Ip - I), (0, Dp - D)))
+    bpp = jnp.pad(b_prime.astype(jnp.float32), (0, Ip - I),
+                  constant_values=-3.0e38).reshape(1, Ip)
+    if qd is None:
+        qd, overflow = csr_block_queries(rated_items, I, block, w)
+    else:
+        overflow = None  # caller pre-routed overflow batches
+        fallback = "none"
+    # (nblk, B, w): leading grid-mapped axis — minor dims stay whole per
+    # block (a (B, w) column-blocked layout would put a sub-128 block
+    # boundary on the lane axis)
+    qd3 = jnp.moveaxis(qd.reshape(B, nblk, w), 1, 0)
+
+    def _fused(_):
+        if merge == "grouped":
+            kernel = functools.partial(_fused_topk_kernel_grouped, k=k,
+                                       block=block, csr_w=w)
+            scratch = [
+                pltpu.VMEM((B, k), jnp.float32),
+                pltpu.VMEM((B, k), jnp.int32),
+            ]
+        else:
+            kernel = functools.partial(_fused_topk_kernel, k=k, block=block,
+                                       csr_w=w)
+            scratch = [
+                pltpu.VMEM((B, k + block), jnp.float32),
+                pltpu.VMEM((B, k + block), jnp.int32),
+            ]
+        ids, vals = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, k), jnp.int32),
+                jax.ShapeDtypeStruct((B, k), jnp.float32),
+            ),
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((B, Dp), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, Dp), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, w), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((B, k), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, k), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=scratch,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * Ip * Dp,
+                bytes_accessed=(B * Dp + Ip * Dp + B * nblk * w) * 4,
+                transcendentals=0,
+            ),
+            interpret=_use_interpret(),
+        )(zp, Wp, bpp, qd3)
+        return ids, vals
+
+    if fallback == "none":
+        return _fused(None)
+
+    def _stream(_):
+        return streaming_topk_scores(z, W, b_prime, rated_items, k=k)
+
+    return jax.lax.cond(overflow, _stream, _fused, None)
 
 
 # ------------------------------------------------- streaming top-k (XLA) ----

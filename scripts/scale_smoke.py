@@ -151,16 +151,36 @@ def main() -> int:
     if jax.devices()[0].platform != "cpu":
         modes.append(("fused_csr", "fused-kernel"))
     for mode, label in modes:
-        ev = jax.jit(functools.partial(
-            _batch_topk_impl, cfg=model.cfg, mode=mode, k=10,
-            num_items=args.items,
-        ))
+        if mode == "fused_csr":
+            # the production CDAE.batch_topk API: rated exclusion fused
+            # in-kernel from HOST-built per-block query lists, cached per
+            # batch (round 5 — no (B, I) mask build in the program at
+            # all). The training model pins use_pallas=False (its step is
+            # XLA-only); serving wants the kernel, so clone the config.
+            import dataclasses as _dc
+
+            fused_model = CDAE(_dc.replace(model.cfg, use_pallas=True))
+
+            def ev_call(u, ri, rm):
+                return fused_model.batch_topk(state, u, ri, rm, 10)
+        else:
+            ev = jax.jit(functools.partial(
+                _batch_topk_impl, cfg=model.cfg, mode=mode, k=10,
+                num_items=args.items,
+            ))
+
+            def ev_call(u, ri, rm):
+                return ev(state.params, u, ri, rm, None)
         for u, ri, rm in prep:  # warm: compile each (B, L) bucket program
-            ids = ev(state.params, u, ri, rm, None)
+            ids = ev_call(u, ri, rm)
         float(jnp.sum(ids))
+        if mode == "fused_csr":
+            stats = [(e[3], e[2]) for e in fused_model._qd_cache.values()]
+            print(f"#   qd cache (w, overflow) per batch: {stats}",
+                  file=sys.stderr)
         t0 = time.perf_counter()
         for u, ri, rm in prep:
-            ids = ev(state.params, u, ri, rm, None)
+            ids = ev_call(u, ri, rm)
         float(jnp.sum(ids))  # one forced readback for the whole queue
         eval_dt = time.perf_counter() - t0
         n_eval = B * len(prep)

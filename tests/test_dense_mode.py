@@ -151,6 +151,73 @@ def test_batch_topk_streaming_matches_scores_path(data):
     assert model.batch_topk(state, uids, ri, rm) is None
 
 
+def test_batch_topk_fused_csr_path(data, monkeypatch):
+    """The fused_csr serving mode (host-built per-block query lists,
+    id-keyed qd cache, overflow -> streaming reroute) returns exactly the
+    dense-scores top-10 at fixture scale (interpret-mode kernel)."""
+    import jax.numpy as jnp
+    import cdae_tpu.models.cdae as cdae_mod
+    from cdae_tpu.ops.topk import topk_unrated
+
+    # rows must hold <= w (8) rated per catalog block for the fused path:
+    # at fixture scale the clamped block spans the whole catalog, so per-
+    # user rated count IS the per-block count
+    from cdae_tpu.data.dataset import Interactions
+
+    rng = np.random.default_rng(4)
+    users, items = [], []
+    for u in range(8):
+        for i in np.sort(rng.choice(300, 6, replace=False)):
+            users.append(u)
+            items.append(i)
+    train = Interactions.from_arrays(
+        np.asarray(users, np.int32), np.asarray(items, np.int32),
+        num_users=8, num_items=300,
+    )
+    model = CDAE(CDAEConfig(num_dim=8, loss="SQUARE", batch_size=32,
+                            use_pallas=True, dense_mode=False))
+    state = model.reset(train, seed=1)
+    monkeypatch.setattr(cdae_mod, "_TOPK_DEFER_CELLS", 0)
+    pb = state.padded
+    uids = np.arange(8)
+    ri, rm = jnp.asarray(pb.items[uids]), jnp.asarray(pb.mask[uids])
+    scores = model.batch_scores(state, uids, pb.items[uids], pb.mask[uids])
+    ids_ref, _ = topk_unrated(scores, ri, 10)
+    ids = model.batch_topk(state, uids, ri, rm)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    # qd cache: same batch object -> hit (one entry, same ref)
+    assert len(model._qd_cache) == 1
+    ent = next(iter(model._qd_cache.values()))
+    assert ent[0] is ri and not ent[2]
+    ids2 = model.batch_topk(state, uids, ri, rm)
+    np.testing.assert_array_equal(np.asarray(ids2), np.asarray(ids_ref))
+    assert len(model._qd_cache) == 1
+    # moderately clustered batch: auto-w sizes up (pow2 >= 12) instead of
+    # overflowing — still exact, still the fused path
+    L = 12
+    ri_c = np.full((8, L), train.num_items, np.int32)
+    ri_c[0, :L] = np.arange(L)  # 12 contiguous ids in one block
+    rm_c = ri_c < train.num_items
+    scores_c = model.batch_scores(state, uids, ri_c, rm_c)
+    ids_cref, _ = topk_unrated(scores_c, jnp.asarray(ri_c), 10)
+    ri_cj = jnp.asarray(ri_c)
+    ids_c = model.batch_topk(state, uids, ri_cj, jnp.asarray(rm_c))
+    np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_cref))
+    ent_c = model._qd_cache[id(ri_cj)]
+    assert not ent_c[2] and ent_c[3] == 16  # auto-sized w, no overflow
+    # pathological clustering past the w cap (64) -> exact via streaming
+    L = 70
+    ri_o = np.full((8, L), train.num_items, np.int32)
+    ri_o[0, :L] = np.arange(L)
+    rm_o = ri_o < train.num_items
+    scores_o = model.batch_scores(state, uids, ri_o, rm_o)
+    ids_oref, _ = topk_unrated(scores_o, jnp.asarray(ri_o), 10)
+    ri_oj = jnp.asarray(ri_o)
+    ids_o = model.batch_topk(state, uids, ri_oj, jnp.asarray(rm_o))
+    np.testing.assert_array_equal(np.asarray(ids_o), np.asarray(ids_oref))
+    assert model._qd_cache[id(ri_oj)][2]  # flagged overflow
+
+
 def test_dense_mode_bf16_slabs_learn(data):
     """compute_dtype=bf16 keeps every (B, I) slab in bf16 (masks exact,
     gradient slab rounded) — training lands in the same recall ballpark

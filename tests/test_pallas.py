@@ -95,6 +95,90 @@ def test_fused_topk_matches_dense(rng_np):
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
 
 
+def test_fused_topk_csr_matches_dense(rng_np):
+    """CSR-fused rated exclusion (per-block compact query lists, no (B, I)
+    mask) returns exactly the dense-path ids/vals for both merges and
+    several w, incl. a non-divisible catalog (ref behavior: skip rated
+    during the full-catalog scan, cdae.hpp:176-186)."""
+    from cdae_tpu.ops.pallas_kernels import fused_topk_scores_csr
+
+    B, D, I, K = 12, 16, 333, 10
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    L = 24
+    rated = np.full((B, L), I, np.int32)
+    for b in range(B):
+        n = int(rng_np.integers(1, L))
+        rated[b, :n] = np.sort(rng_np.choice(I, n, replace=False))
+    rated = jnp.asarray(rated)
+    scores = z @ W.T + bp[None, :]
+    ids_ref, vals_ref = topk_unrated(scores, rated, K)
+    for merge in ("argmax", "grouped"):
+        for w in (8, 32):
+            ids, vals = fused_topk_scores_csr(
+                z, W, bp, rated, k=K, block=128, w=w, merge=merge)
+            np.testing.assert_array_equal(
+                np.asarray(ids), np.asarray(ids_ref),
+                err_msg=f"{merge}/w={w}")
+            np.testing.assert_allclose(
+                np.asarray(vals), np.asarray(vals_ref), rtol=1e-5,
+                atol=1e-5)
+
+
+def test_fused_topk_csr_overflow_fallback(rng_np):
+    """A row whose rated ids cluster past w in one catalog block trips the
+    overflow cond -> the streaming fallback keeps the result EXACT; with
+    fallback='none' the same batch is (deliberately) wrong — proving the
+    guard is what provides exactness."""
+    from cdae_tpu.ops.pallas_kernels import (
+        csr_block_queries, fused_topk_scores_csr)
+
+    B, D, I, K = 6, 8, 400, 10
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    L = 32
+    rated = np.full((B, L), I, np.int32)
+    rated[0, :30] = np.arange(50, 80)  # 30 contiguous ids in one block
+    for b in range(1, B):
+        rated[b, :4] = np.sort(rng_np.choice(I, 4, replace=False))
+    rated = jnp.asarray(rated)
+    _, overflow = csr_block_queries(rated, I, 128, 8)
+    assert bool(overflow)
+    scores = z @ W.T + bp[None, :]
+    ids_ref, _ = topk_unrated(scores, rated, K)
+    ids, _ = fused_topk_scores_csr(z, W, bp, rated, k=K, block=128, w=8)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    # sanity: the guard is load-bearing for this batch
+    ids_bad, _ = fused_topk_scores_csr(z, W, bp, rated, k=K, block=128,
+                                       w=8, fallback="none")
+    rated0 = set(np.asarray(rated)[0].tolist())
+    assert any(int(i) in rated0 for i in np.asarray(ids_bad)[0])
+
+
+def test_csr_block_queries_pads_and_counts(rng_np):
+    """Pad slots (>= num_items) never inflate the last block's count; local
+    ids and slot validity match a direct per-block enumeration."""
+    from cdae_tpu.ops.pallas_kernels import csr_block_queries
+
+    I, block, w = 200, 64, 4
+    rated = jnp.asarray(np.array([
+        [3, 64, 65, 199, I, I],        # pads at the tail
+        [0, 1, 2, 3, 63, 66],          # 5 in block 0 -> overflow at w=4
+    ], np.int32))
+    qd, overflow = csr_block_queries(rated, I, block, w)
+    assert bool(overflow)
+    nblk = -(-I // block)
+    qd = np.asarray(qd).reshape(2, nblk, w)
+    # row 0: block0 {3}, block1 {0, 1}, block3 {7} (199-192)
+    assert qd[0, 0, 0] == 3 and (qd[0, 0, 1:] == -1).all()
+    assert list(qd[0, 1, :2]) == [0, 1] and (qd[0, 1, 2:] == -1).all()
+    assert qd[0, 3, 0] == 199 - 3 * block
+    # row 1: block 0 overflows w -> first w listed, flag covers the rest
+    assert list(qd[1, 0]) == [0, 1, 2, 3]
+
+
 def test_warp_violator_select_counts_and_membership(rng_np):
     """Kernel nviol matches the XLA count exactly; every selected j is a
     violator; selection is deterministic per seed."""
