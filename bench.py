@@ -204,6 +204,36 @@ def main():
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
     model_tflop_per_epoch = 10.0 * U * I * dim / 1e12
     achieved_tflops = model_tflop_per_epoch * users_per_sec / U
+
+    # --- HBM roofline accounting (VERDICT r4 item 3) ------------------------
+    # Two traffic models BRACKET the dense step's true HBM bytes/epoch:
+    #
+    # COMPULSORY (lower bound — what must cross HBM even with perfect
+    # on-chip reuse): the int8 interaction rows once per epoch, plus the
+    # (I, D) parameter tables + AdaGrad accumulators (~2 reads + 1 write
+    # each) and b'/accumulator vectors per batch. The RNG masks are
+    # generated on-chip (zero bytes).
+    #
+    # SLAB (upper bound — every (B, I) fusion-boundary slab spills to HBM):
+    # counted from _dense_train_step: rows w+2r, uniforms x2 w+r, kept
+    # w+2r, w_mat w+2r, g w+3r (slab dtype) + pred w+r (f32) + the int8
+    # gather => 17 sdt + 2 f32 + 1 int8 passes per (B, I) cell.
+    #
+    # frac_of_hbm_roofline = achieved users/s over the COMPULSORY-bound
+    # speed of light (~1 => memory-bound). When the SLAB model's implied
+    # bandwidth exceeds the chip peak (slab_hbm_frac > 1), the slabs are
+    # PROVABLY cache/VMEM-resident and the step is latency/VPU-bound, not
+    # HBM-bound — the measured form of BASELINE.md's "latency-bound by
+    # design". Denominator: v5e HBM peak 819 GB/s (BENCH_PEAK_HBM_GBPS).
+    slab_bytes = 2 if os.environ.get("BENCH_BF16") else 4
+    n_batches = -(-U // batch)
+    params_bytes = n_batches * (3 * 2 * I * dim * 4 + 3 * 2 * I * 4)
+    compulsory_bytes = U * I * 1 + params_bytes
+    slab_model_bytes = U * I * (17 * slab_bytes + 2 * 4 + 1) + params_bytes
+    peak_hbm_gbps = float(os.environ.get("BENCH_PEAK_HBM_GBPS", 819.0))
+    epochs_per_sec = users_per_sec / U
+    hbm_bound_users_per_sec = peak_hbm_gbps * 1e9 / compulsory_bytes * U
+    slab_hbm_frac = slab_model_bytes * epochs_per_sec / (peak_hbm_gbps * 1e9)
     print(json.dumps({
         "metric": "cdae_train_users_per_sec",
         "value": round(users_per_sec, 1),
@@ -211,6 +241,10 @@ def main():
         "vs_baseline": round(users_per_sec / baseline, 2),
         "achieved_tflops": round(achieved_tflops, 2),
         "mfu_vs_bf16_peak": round(achieved_tflops / peak_tflops, 4),
+        "frac_of_hbm_roofline": round(
+            users_per_sec / hbm_bound_users_per_sec, 4),
+        "slab_hbm_frac": round(slab_hbm_frac, 3),
+        "memory_bound": slab_hbm_frac <= 1.0,
     }))
 
 

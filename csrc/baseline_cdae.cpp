@@ -1413,6 +1413,142 @@ int run_parity_ranking(int argc, char** argv) {
   return 0;
 }
 
+// bench_als <ALS|WRMF> [U I deg D lambda scalar seconds] — reference-
+// semantics sequential ALS (per-row D x D normal equations + dense
+// inverse, ref als.hpp:65-107 / wrmf.hpp:66-100) on synthetic data with
+// the same generator as bench_mf; reports ms per full user+item sweep.
+// The CPU baseline row for the TPU ShardedALS/fused-iteration numbers
+// (VERDICT r4 item 7).
+int run_bench_als(int argc, char** argv) {
+  std::string method = argc > 2 ? argv[2] : "ALS";
+  bool weighted = method == "WRMF";
+  size_t U = argc > 3 ? std::strtoul(argv[3], nullptr, 10) : 6040;
+  size_t I = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 3706;
+  size_t deg = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 160;
+  size_t D = argc > 6 ? std::strtoul(argv[6], nullptr, 10) : 10;
+  double lambda = argc > 7 ? std::strtod(argv[7], nullptr) : 0.01;
+  double scalar = argc > 8 ? std::strtod(argv[8], nullptr) : 40.0;
+  double budget_s = argc > 9 ? std::strtod(argv[9], nullptr) : 20.0;
+
+  std::uniform_int_distribution<size_t> item_dist(0, I - 1);
+  std::geometric_distribution<int> gdist(1.0 / (double)deg);
+  std::vector<std::vector<int>> train(U), by_item(I);
+  for (size_t u = 0; u < U; ++u) {
+    int n = std::min<int>(1 + gdist(g_rng), (int)I - 1);
+    std::unordered_set<int> s;
+    while ((int)s.size() < n) s.insert((int)item_dist(g_rng));
+    train[u].assign(s.begin(), s.end());
+    for (int i : train[u]) by_item[(size_t)i].push_back((int)u);
+  }
+  std::vector<double> p(U * D), q(I * D);
+  std::uniform_real_distribution<double> init(-0.001, 0.001);
+  for (auto& e : p) e = init(g_rng);
+  for (auto& e : q) e = init(g_rng);
+
+  auto sweep = [&](std::vector<double>& X, const std::vector<double>& Y,
+                   const std::vector<std::vector<int>>& rows) {
+    std::vector<double> A(D * D), b(D);
+    for (size_t r = 0; r < rows.size(); ++r) {
+      if (rows[r].empty()) continue;  // ref skips unseen ids (als.hpp:110)
+      std::fill(A.begin(), A.end(), 0.0);
+      std::fill(b.begin(), b.end(), 0.0);
+      for (size_t k = 0; k < D; ++k) A[k * D + k] = lambda;
+      for (int o : rows[r]) {
+        const double* y = &Y[(size_t)o * D];
+        double w = weighted ? scalar : 1.0;
+        double rhs = weighted ? scalar : 1.0;
+        for (size_t i2 = 0; i2 < D; ++i2) {
+          for (size_t j2 = 0; j2 < D; ++j2)
+            A[i2 * D + j2] += w * y[i2] * y[j2];
+          b[i2] += rhs * y[i2];
+        }
+      }
+      if (!invert_inplace(A, D)) continue;
+      double* x = &X[r * D];
+      for (size_t k = 0; k < D; ++k) {
+        double s = 0.0;
+        for (size_t j2 = 0; j2 < D; ++j2) s += A[k * D + j2] * b[j2];
+        x[k] = s;
+      }
+    }
+  };
+
+  auto t0 = std::chrono::steady_clock::now();
+  size_t iters = 0;
+  double elapsed = 0;
+  while (elapsed < budget_s) {
+    sweep(p, q, train);
+    sweep(q, p, by_item);
+    ++iters;
+    elapsed = std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count();
+  }
+  std::printf(
+      "{\"method\": \"%s\", \"ms_per_iter\": %.2f, \"iters\": %zu, "
+      "\"U\": %zu, \"I\": %zu, \"dim\": %zu}\n",
+      method.c_str(), 1e3 * elapsed / (double)iters, iters, U, I, D);
+  return 0;
+}
+
+// bench_sim <ITEMCF|USERCF> [U I deg topk reps] — reference-semantics
+// co-occurrence neighbor build (hash-map candidate counting + Jaccard +
+// per-index top-k, ref similarity_base.hpp:42-95) on synthetic data;
+// reports seconds per full build. The CPU baseline row for the TPU
+// SimilarityBase sparse-matmul build (VERDICT r4 item 7).
+int run_bench_sim(int argc, char** argv) {
+  std::string method = argc > 2 ? argv[2] : "ITEMCF";
+  size_t U = argc > 3 ? std::strtoul(argv[3], nullptr, 10) : 6040;
+  size_t I = argc > 4 ? std::strtoul(argv[4], nullptr, 10) : 3706;
+  size_t deg = argc > 5 ? std::strtoul(argv[5], nullptr, 10) : 160;
+  size_t topk = argc > 6 ? std::strtoul(argv[6], nullptr, 10) : 50;
+  size_t reps = argc > 7 ? std::strtoul(argv[7], nullptr, 10) : 3;
+
+  std::uniform_int_distribution<size_t> item_dist(0, I - 1);
+  std::geometric_distribution<int> gdist(1.0 / (double)deg);
+  std::vector<std::vector<int>> train(U), by_item(I);
+  for (size_t u = 0; u < U; ++u) {
+    int n = std::min<int>(1 + gdist(g_rng), (int)I - 1);
+    std::unordered_set<int> s;
+    while ((int)s.size() < n) s.insert((int)item_dist(g_rng));
+    train[u].assign(s.begin(), s.end());
+    for (int i : train[u]) by_item[(size_t)i].push_back((int)u);
+  }
+  const auto& idx_data = method == "ITEMCF" ? by_item : train;
+  const auto& data_idx = method == "ITEMCF" ? train : by_item;
+
+  double best = 1e30;
+  size_t checksum = 0;
+  for (size_t rep = 0; rep < reps; ++rep) {
+    auto t0 = std::chrono::steady_clock::now();
+    size_t N = idx_data.size();
+    std::vector<std::vector<std::pair<int, double>>> nb(N);
+    for (size_t a = 0; a < N; ++a) {
+      if (idx_data[a].empty()) continue;
+      std::unordered_map<int, double> cand;
+      for (int d : idx_data[a])
+        for (int b : data_idx[(size_t)d])
+          if ((size_t)b != a) cand[b] += 1.0;
+      std::vector<std::pair<int, double>> cv(cand.begin(), cand.end());
+      for (auto& pr : cv)
+        pr.second /= ((double)idx_data[(size_t)pr.first].size() +
+                      (double)idx_data[a].size() - pr.second);
+      size_t k = std::min(topk, cv.size());
+      std::partial_sort(cv.begin(), cv.begin() + (long)k, cv.end(),
+                        [](auto& x, auto& y) { return x.second > y.second; });
+      nb[a].assign(cv.begin(), cv.begin() + (long)k);
+      checksum += nb[a].size();
+    }
+    double dt = std::chrono::duration<double>(
+                    std::chrono::steady_clock::now() - t0).count();
+    best = std::min(best, dt);
+  }
+  std::printf(
+      "{\"method\": \"%s\", \"build_s\": %.3f, \"topk\": %zu, \"U\": %zu, "
+      "\"I\": %zu, \"checksum\": %zu}\n",
+      method.c_str(), best, topk, U, I, checksum);
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -1432,6 +1568,10 @@ int main(int argc, char** argv) {
     return run_parity_fm(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench_mf") == 0)
     return run_bench_mf(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "bench_als") == 0)
+    return run_bench_als(argc, argv);
+  if (argc > 1 && std::strcmp(argv[1], "bench_sim") == 0)
+    return run_bench_sim(argc, argv);
   if (argc > 1 && std::strcmp(argv[1], "bench") == 0)
     return run_bench(argc, argv);
   // legacy positional form: treat argv as bench args shifted by one
