@@ -81,6 +81,33 @@ _neighbor_block = functools.partial(
 )(_neighbor_block_math)
 
 
+@functools.partial(jax.jit, static_argnames=("M",))
+def _binarize_rows(rows: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Padded index rows (N, L) int32 (pad >= M) -> dense (N, M) 0/1 f32,
+    built ON DEVICE: uploading the dense matrix dominated the whole
+    neighbor build over the tunnel (89 MB H2D = 2.5 s vs 48 ms of
+    compute at the ML-1M shape — round 5); the padded rows are ~4 MB."""
+    N, L = rows.shape
+    n_idx = jnp.arange(N, dtype=jnp.int32)[:, None]
+    return jnp.zeros((N, M), jnp.float32).at[n_idx, rows].set(
+        1.0, mode="drop"
+    )
+
+
+def build_topk_neighbors_rows(
+    rows: np.ndarray,  # (N, L) int32 padded index rows (pad >= M)
+    M: int,  # data-axis dimension
+    sim_type: str,
+    topk: int,
+    block_size: int = 1024,
+):
+    """build_topk_neighbors from padded CSR rows — the H2D-light path
+    (only O(nnz) index bytes cross the tunnel; binarization is a device
+    scatter)."""
+    A = _binarize_rows(jnp.asarray(rows), M)
+    return _build_topk_neighbors_dev(A, sim_type, topk, block_size)
+
+
 def build_topk_neighbors(
     binary: np.ndarray,  # (N, M) 0/1 — index entities × data entities
     sim_type: str,
@@ -88,15 +115,22 @@ def build_topk_neighbors(
     block_size: int = 1024,
 ):
     """Full neighbor graph: (N, K) ids padded with N + (N, K) sims."""
-    N = binary.shape[0]
-    A = jnp.asarray(binary, dtype=jnp.float32)
+    return _build_topk_neighbors_dev(
+        jnp.asarray(binary, dtype=jnp.float32), sim_type, topk, block_size
+    )
+
+
+def _build_topk_neighbors_dev(A, sim_type, topk, block_size=1024):
+    N = A.shape[0]
     counts = jnp.sum(A, axis=1)
     k = min(topk, max(N - 1, 1))
-    ids_out = np.full((N, k), N, dtype=np.int32)
-    sims_out = np.zeros((N, k), dtype=np.float32)
+    # queue every block's device program, then ONE readback at the end —
+    # the per-block np.asarray paid a ~30 ms tunnel RTT each (round 5;
+    # same amortization rule as everywhere else in this repo)
+    outs = []
     for start in range(0, N, block_size):
         end = min(start + block_size, N)
-        ids, sims = _neighbor_block(
+        outs.append(_neighbor_block(
             A[start:end],
             A,
             counts[start:end],
@@ -104,9 +138,9 @@ def build_topk_neighbors(
             jnp.int32(start),
             sim_type.upper(),
             k,
-        )
-        ids_out[start:end] = np.asarray(ids)
-        sims_out[start:end] = np.asarray(sims)
+        ))
+    ids_out = np.concatenate([np.asarray(i) for i, _ in outs])
+    sims_out = np.concatenate([np.asarray(s) for _, s in outs])
     return ids_out, sims_out
 
 
@@ -196,21 +230,29 @@ class SimilarityBase(RecsysModel):
         self.cfg = config if config is not None else SimilarityConfig(**kw)
 
     def reset(self, data: Interactions, seed: int = 0) -> ModelState:
-        binary = data.dense_matrix(binary=True)  # (U, I)
-        if self.index_axis == "item":
-            mat = binary.T  # items × users
-        else:
-            mat = binary  # users × items
         use_sharded = self.cfg.sharded
         if use_sharded is None:
             use_sharded = len(jax.devices()) > 1
         if use_sharded:
+            binary = data.dense_matrix(binary=True)  # (U, I)
+            mat = binary.T if self.index_axis == "item" else binary
             ids, sims = build_topk_neighbors_sharded(
                 mat, self.cfg.sim_type, self.cfg.topk
             )
         else:
-            ids, sims = build_topk_neighbors(
-                mat, self.cfg.sim_type, self.cfg.topk, self.cfg.block_size
+            # H2D-light path: ship only the padded CSR index rows and
+            # binarize on device (the dense upload was ~98% of build time
+            # over the tunnel — see _binarize_rows)
+            from cdae_tpu.data.dataset import rows_from_csr
+
+            if self.index_axis == "item":
+                csr, N, M = data.csr_by_item(), data.num_items, data.num_users
+            else:
+                csr, N, M = data.csr(), data.num_users, data.num_items
+            rows, _, _, _ = rows_from_csr(csr, np.arange(N), M)
+            ids, sims = build_topk_neighbors_rows(
+                rows, M, self.cfg.sim_type, self.cfg.topk,
+                self.cfg.block_size,
             )
         state = ModelState(
             params={

@@ -404,7 +404,8 @@ class ShardedALS(RecsysModel):
 
             def local(idx_b, r_b, m_b, len_b, off, Y, Xold_b):
                 solved = _solve_side_math(Y, idx_b, r_b, m_b, lam, sc,
-                                          weighted)
+                                          weighted,
+                                          w_solver=self.cfg.w_solver)
                 rid = off[0] + jnp.arange(idx_b.shape[0])
                 keep = (len_b > 0) & (rid < N)
                 return jnp.where(keep[:, None], solved, Xold_b)

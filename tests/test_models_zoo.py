@@ -42,6 +42,40 @@ def test_popularity_recommends(splits):
     np.testing.assert_allclose(s[0], counts.astype(np.float32))
 
 
+def test_popularity_batch_topk_matches_masked_topk(splits):
+    """The candidate-walk top-k (reference algorithm shape,
+    popularity.hpp:23-41) equals the full masked top-k, incl. a heavy
+    user and an all-rated user (exhausted -> cond fallback)."""
+    import jax.numpy as jnp
+    from cdae_tpu.ops.topk import topk_unrated
+
+    rng = np.random.default_rng(2)
+    U, I, L = 12, 200, 150
+    ri = np.full((U, L), I, np.int32)
+    for u in range(U):
+        n = int(rng.integers(1, 30))
+        ri[u, :n] = np.sort(rng.choice(I, n, replace=False))
+    ri[1, :140] = np.sort(rng.choice(I, 140, replace=False))  # heavy
+    rm = ri < I
+    items = rng.integers(0, I, 3000).astype(np.int32)
+    data = Interactions.from_arrays(
+        rng.integers(0, U, 3000).astype(np.int32), items,
+        num_users=U, num_items=I)
+    model = Popularity()
+    state = model.reset(data)
+    scores = model.batch_scores(state, np.arange(U), ri, rm)
+    ref, _ = topk_unrated(scores, jnp.asarray(ri), 10)
+    got = model.batch_topk(state, np.arange(U), ri, rm, 10)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # exhausted row: rated everything -> fallback still exact
+    ri2 = np.tile(np.arange(I, dtype=np.int32), (U, 1))[:, :I]
+    rm2 = np.ones_like(ri2, bool)
+    scores2 = model.batch_scores(state, np.arange(U), ri2, rm2)
+    ref2, _ = topk_unrated(scores2, jnp.asarray(ri2), 10)
+    got2 = model.batch_topk(state, np.arange(U), ri2, rm2, 10)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref2))
+
+
 def test_build_topk_neighbors_matches_naive():
     rng = np.random.default_rng(0)
     A = (rng.random((12, 9)) < 0.4).astype(np.float32)
