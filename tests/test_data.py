@@ -177,3 +177,16 @@ def test_split_by_user_vectorized_path():
         train.users[:1000] * I + train.items[:1000],
         test.users[:1000] * I + test.items[:1000],
     )) >= 0  # smoke: valid arrays
+
+
+def test_describe_schema_printer(movielens_path):
+    """describe() prints schema + head like the reference Data printer
+    (ref src/base/data-inl.hpp:82-105: dims, group sizes, head rows)."""
+    from cdae_tpu.data.dataset import movielens_line_parser
+
+    data = Interactions.from_text(movielens_path, movielens_line_parser)
+    out = data.describe(head=3)
+    assert "Interactions(n=240, users=25, items=38)" in out
+    assert "density" in out and "per-user interactions" in out
+    # head rows show ORIGINAL keys via the vocab, one line per row
+    assert len(out.splitlines()) >= 6
