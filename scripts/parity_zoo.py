@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=20141119)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scatter", default="auto")
+    ap.add_argument("--warp_dense_mult", type=float, default=3.0,
+                    help="WARP_DENSE slab-cadence lr multiplier")
+    ap.add_argument("--warp_pool_size", type=int, default=1024,
+                    help="WARP_DENSE violator pool size")
     ap.add_argument("--models", nargs="*",
                     default=["MF", "PMF", "BPR", "WARP", "ALS", "WRMF", "FISM",
                              "NegMF", "ITEMCF", "USERCF", "POP", "LINEAR", "FM"])
@@ -94,12 +98,21 @@ def main() -> int:
                                      **mf_kw))
             if method == "WARP_DENSE":
                 # per-user dense slab: pooled violators + Rao-Blackwellized
-                # selection/rank weights; EQUAL epochs at 2x lr (the slab
-                # cadence compensation — see BPR_DENSE note; measured lr
-                # 0.2 @ 20ep = 0.547 vs oracle 0.571, within the gate)
-                kw2 = dict(mf_kw, learn_rate=2 * args.lr)
+                # selection/rank weights; EQUAL epochs with the slab
+                # cadence lr compensation (see BPR_DENSE note). Round-5
+                # 3-seed finding: the old protocol (pool 256, 2x lr) is
+                # SYSTEMATICALLY low (−0.024/−0.042/−0.030, mean −0.032,
+                # past the gate — the recorded single-seed −0.024 was the
+                # lucky one); 3x lr alone helps (mean −0.021, one seed
+                # still out) and a 1024 violator pool fixes the rank/
+                # selection statistics: at (pool 1024, 3x) the 3 seeds are
+                # −0.0003/−0.0208/−0.0090, mean −0.0100, σ 0.0086 — the
+                # recorded protocol (defaults below).
+                kw2 = dict(mf_kw,
+                           learn_rate=args.warp_dense_mult * args.lr)
                 return WARP(MFConfig(loss="HINGE", beta=0.0, lambda_=0.1,
-                                     dense_mode=True, warp_pool=256,
+                                     dense_mode=True,
+                                     warp_pool=args.warp_pool_size,
                                      **kw2))
             if method == "FISM":
                 return FISM(FISMConfig(
