@@ -397,6 +397,15 @@ def _fused_topk_block(B: int, block: int, k: int,
     (4·B·block) + the same streamed tiles."""
     budget = 8 * 2**20
     b = max(B, 1)
+    # Empirical B·block feasibility frontier (the byte model alone
+    # under-predicts: the argmax kernel also holds full pool VALUE copies
+    # + the scores value + masking iotas — measured (512, 1536) csr OOMs
+    # at 18.51M scoped while (256, 2560) and (512, 1280) compile and run;
+    # (256, 3200) fails; (512, 1280) and (1024, 640) fail with FEWER
+    # cells — the frontier is not monotone in bytes, so the fused-csr
+    # caller chunks batches to <= _CSR_CHUNK_B rows and this cap is only
+    # exercised at B <= 256, where (256, 2560) is the validated optimum.
+    cell_cap = 656_000
     blk = 128  # lane-tile floor; huge B degrades rather than OOMs
     while True:
         nxt = blk + 128
@@ -409,7 +418,7 @@ def _fused_topk_block(B: int, block: int, k: int,
             frame = 12 * b * nxt + 1024 * nxt + rated
         else:
             frame = 8 * b * (k + nxt) + 1024 * nxt + rated
-        if frame > budget or nxt > block:
+        if frame > budget or b * nxt > cell_cap or nxt > block:
             break
         blk = nxt
     return min(block, blk)
@@ -464,13 +473,17 @@ def csr_block_queries(
     return qd.reshape(B, nblk * w), overflow
 
 
+_CSR_CHUNK_B = 256  # fused-csr kernel row chunk (see fused_topk_scores_csr)
+
+
 def fused_topk_csr_plan(B: int, k: int = 10, block: int = 4096,
                         merge: str = "argmax") -> int:
     """The catalog block fused_topk_scores_csr will actually use for these
     parameters — host qd builders MUST build with this block or the
     kernel's per-block query tiles won't line up. w-independent by
-    construction (the clamp budgets the w cap)."""
-    blk = _fused_topk_block(B, block, k, merge, csr_w=64)
+    construction (the clamp budgets the w cap); B-independent above the
+    row chunk (large batches run as _CSR_CHUNK_B-row kernel calls)."""
+    blk = _fused_topk_block(min(B, _CSR_CHUNK_B), block, k, merge, csr_w=64)
     if merge == "grouped":
         blk = _round_up(blk, 128)
     return blk
@@ -649,10 +662,18 @@ def fused_topk_scores_csr(
     then recommend rated items, test-only).
     """
     B, D = z.shape
+    # The kernel runs at B <= _CSR_CHUNK_B rows: its VMEM frame scales
+    # with B·block and the Mosaic allocator's feasibility frontier is not
+    # a clean byte model (measured: (256, 2560) runs, (512, 1280) and
+    # (1024, 640) fail to compile with FEWER cells). Larger batches are
+    # CHUNKED into 256-row kernel calls inside this same jit — one
+    # program, sequential VMEM reuse, and every chunk keeps the validated
+    # B=256 block (2560).
+    CB = _CSR_CHUNK_B
     # clamp with the w CAP (64), not the actual w: the chosen block must
     # be identical for every w so host-built qd (fused_topk_csr_plan,
     # which runs before the batch's w is known) always lines up
-    block = _fused_topk_block(B, block, k, merge, csr_w=64)
+    block = _fused_topk_block(min(B, CB), block, k, merge, csr_w=64)
     if merge == "grouped":
         block = _round_up(block, 128)  # grouped view needs 128-lane groups
     I = W.shape[0]
@@ -673,53 +694,65 @@ def fused_topk_scores_csr(
     # boundary on the lane axis)
     qd3 = jnp.moveaxis(qd.reshape(B, nblk, w), 1, 0)
 
-    def _fused(_):
+    def _call_kernel(zc, qc):
+        Bc = zc.shape[0]
         if merge == "grouped":
             kernel = functools.partial(_fused_topk_kernel_grouped, k=k,
                                        block=block, csr_w=w)
             scratch = [
-                pltpu.VMEM((B, k), jnp.float32),
-                pltpu.VMEM((B, k), jnp.int32),
+                pltpu.VMEM((Bc, k), jnp.float32),
+                pltpu.VMEM((Bc, k), jnp.int32),
             ]
         else:
             kernel = functools.partial(_fused_topk_kernel, k=k, block=block,
                                        csr_w=w)
             scratch = [
-                pltpu.VMEM((B, k + block), jnp.float32),
-                pltpu.VMEM((B, k + block), jnp.int32),
+                pltpu.VMEM((Bc, k + block), jnp.float32),
+                pltpu.VMEM((Bc, k + block), jnp.int32),
             ]
-        ids, vals = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((B, k), jnp.int32),
-                jax.ShapeDtypeStruct((B, k), jnp.float32),
+                jax.ShapeDtypeStruct((Bc, k), jnp.int32),
+                jax.ShapeDtypeStruct((Bc, k), jnp.float32),
             ),
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((B, Dp), lambda j: (0, 0),
+                pl.BlockSpec((Bc, Dp), lambda j: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block, Dp), lambda j: (j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block), lambda j: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, w), lambda j: (j, 0, 0),
+                pl.BlockSpec((1, Bc, w), lambda j: (j, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((B, k), lambda j: (0, 0),
+                pl.BlockSpec((Bc, k), lambda j: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, k), lambda j: (0, 0),
+                pl.BlockSpec((Bc, k), lambda j: (0, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
-                flops=2 * B * Ip * Dp,
-                bytes_accessed=(B * Dp + Ip * Dp + B * nblk * w) * 4,
+                flops=2 * Bc * Ip * Dp,
+                bytes_accessed=(Bc * Dp + Ip * Dp + Bc * nblk * w) * 4,
                 transcendentals=0,
             ),
             interpret=_use_interpret(),
-        )(zp, Wp, bpp, qd3)
-        return ids, vals
+        )(zc, Wp, bpp, qc)
+
+    def _fused(_):
+        if B <= CB:
+            return _call_kernel(zp, qd3)
+        ids_c, vals_c = [], []
+        for c0 in range(0, B, CB):
+            c1 = min(c0 + CB, B)
+            i, v = _call_kernel(zp[c0:c1], qd3[:, c0:c1, :])
+            ids_c.append(i)
+            vals_c.append(v)
+        return (jnp.concatenate(ids_c, axis=0),
+                jnp.concatenate(vals_c, axis=0))
 
     if fallback == "none":
         return _fused(None)

@@ -132,7 +132,10 @@ def main() -> int:
     # batches with ONE forced readback at the end — per-batch readbacks pay
     # the ~30 ms tunnel RTT each and understated this line ~3 orders
     # (22 "users/s" printed where the kernel measures 14.9k; ROADMAP r3).
-    B = 256
+    # eval batch 1024: the fused-csr path chunks it into 256-row kernel
+    # calls whose queued dispatches overlap — measured 18.8k users/s at
+    # B=1024 vs 13.5k at B=256 (kernel-side, warmed device; round 5)
+    B = 1024
     prep = []
     for j in range(args.eval_batches):
         uids = np.arange(j * B, (j + 1) * B)
