@@ -157,6 +157,33 @@ def test_fused_topk_csr_overflow_fallback(rng_np):
     assert any(int(i) in rated0 for i in np.asarray(ids_bad)[0])
 
 
+def test_fused_topk_csr_chunked_large_batch(rng_np):
+    """Batches above the 256-row kernel chunk split inside one jit and
+    concatenate exactly (incl. a non-multiple remainder chunk)."""
+    import cdae_tpu.ops.pallas_kernels as pk
+
+    B, D, I, K = 300, 8, 400, 10  # 256 + remainder 44
+    z = jnp.asarray(rng_np.standard_normal((B, D)).astype(np.float32))
+    W = jnp.asarray(rng_np.standard_normal((I, D)).astype(np.float32))
+    bp = jnp.asarray(rng_np.standard_normal(I).astype(np.float32))
+    L = 16
+    rated = np.full((B, L), I, np.int32)
+    for b in range(B):
+        n = int(rng_np.integers(1, L))
+        rated[b, :n] = np.sort(rng_np.choice(I, n, replace=False))
+    rated = jnp.asarray(rated)
+    scores = z @ W.T + bp[None, :]
+    ids_ref, vals_ref = topk_unrated(scores, rated, K)
+    blk = pk.fused_topk_csr_plan(B, K, block=128)
+    qd, w_used, ov = pk.csr_block_queries_np(np.asarray(rated), I, blk, None)
+    assert not ov
+    ids, vals = pk.fused_topk_scores_csr(
+        z, W, bp, rated, k=K, block=128, w=w_used, qd=jnp.asarray(qd))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_csr_block_queries_pads_and_counts(rng_np):
     """Pad slots (>= num_items) never inflate the last block's count; local
     ids and slot validity match a direct per-block enumeration."""
