@@ -1236,9 +1236,13 @@ def _dense_train_step(
         "bd,id->bi", z.astype(cdt), table.astype(cdt),
         preferred_element_type=jnp.float32,
     ) + params["b_prime"].astype(jnp.float32)[None, :]
-    g = (jnp.where(
-        rows > 0, loss.gradient(pred, 1.0), loss.gradient(pred, 0.0)
-    ) * w_mat.astype(jnp.float32)).astype(sdt)
+    # truth IS the 0/1 interaction row: one gradient eval replaces the old
+    # where(rows>0, grad(pred,1), grad(pred,0)) — BITWISE identical (every
+    # loss gradient is an elementwise function of (pred, truth), and rows
+    # is exactly 0.0/1.0), and the VPU-bound step drops a full (B, I)
+    # gradient evaluation (2 exps -> 1 for CE)
+    g = (loss.gradient(pred, rows.astype(jnp.float32))
+         * w_mat.astype(jnp.float32)).astype(sdt)
 
     touches = jnp.sum(
         w_mat, axis=0, dtype=jnp.float32

@@ -161,11 +161,10 @@ def _kernel(seed_ref, wu_ref, pneg_ref, hbias_ref, r_ref, w_ref, wag_ref,
             u_n < pneg_ref[:]
         ).astype(f32) * wu
         w_mat = rows + neg_sel
-        g = jnp.where(
-            rows01 > 0,
-            loss.gradient(pred, 1.0),
-            loss.gradient(pred, 0.0),
-        ) * w_mat
+        # truth IS the 0/1 row — one gradient eval, bitwise equal to the
+        # two-branch where (rows01 is exactly 0.0/1.0; see the XLA dense
+        # step's note, models/cdae.py)
+        g = loss.gradient(pred, rows01) * w_mat
         return g, w_mat
 
     @pl.when(p == 1)
