@@ -592,10 +592,13 @@ def _dense_mf_grads(params, rows, labels, w_mat, uids, w_user, cfg, loss):
         + params["ib"][None, :]
         + uv_u @ params["iv"].T
     )
-    g = jnp.where(rows > 0,
-                  loss.gradient(pred, labels),
-                  loss.gradient(pred, jnp.full_like(pred, loss.negative_label))
-                  ) * w_mat
+    # select the TRUTH slab, then one gradient eval — bitwise equal to
+    # where(rows>0, grad(pred, labels), grad(pred, neg_label)) (gradients
+    # are elementwise in (pred, truth)) at half the gradient passes over
+    # the (B, I) slab (see the CDAE dense step's identical fusion)
+    truth = jnp.where(rows > 0, labels,
+                      jnp.asarray(loss.negative_label, pred.dtype))
+    g = loss.gradient(pred, truth) * w_mat
     row_touch = jnp.sum(w_mat, axis=1)  # (B,) touches per user
     col_touch = jnp.sum(w_mat, axis=0)  # (I,)
     d_uv_rows = g @ params["iv"] + lam2 * row_touch[:, None] * uv_u
