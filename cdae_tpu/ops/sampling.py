@@ -108,9 +108,17 @@ def sample_unrated(
         k = jnp.moveaxis(k_c, 0, 1).reshape(B, S_pad)[:, :num_samples]
     else:
         # huge S (CDAE's num_neg·L): B·L·S compare volume loses to the
-        # vectorized binary search (measured 3k vs 22.7k users/s at
-        # S=4000, L=800 on the 200k x 50k smoke)
-        k = jax.vmap(jnp.searchsorted, in_axes=(0, 0, None))(ranks, u, "right")
+        # vectorized search (measured 3k vs 22.7k users/s at S=4000,
+        # L=800 on the 200k x 50k smoke). method='sort' (concat + one
+        # XLA sort instead of the binary-search while_loop, which
+        # serializes on TPU) measured 4.7x faster than the default scan
+        # at (B=1024, L=680, S=3400): 86 vs 405 ms, bitwise-equal ranks
+        # (round 5) — the sampler was ~29% of the exact sparse step.
+        k = jax.vmap(
+            lambda r, q: jnp.searchsorted(r, q, side="right",
+                                          method="sort"),
+            in_axes=(0, 0),
+        )(ranks, u)
     return (u + k).astype(jnp.int32)
 
 
