@@ -144,6 +144,24 @@ class ShardedCDAE(RecsysModel):
             jax.device_put(np.asarray(rated_mask), row_sh),
         )
 
+    def batch_topk(self, state: CDAEState, uids, rated_items, rated_mask,
+                   k: int = 10):
+        """Evaluation fast path on the mesh: per-shard top-k over the
+        ('data','model')-sharded score blocks merged over 'model'
+        (parallel/topk.distributed_topk_unrated) — the full (B, I) score
+        matrix is never gathered onto one chip, the CP/SP analog of the
+        reference's full-catalog heap scan (cdae.hpp:176-186) at catalog
+        sizes one chip's HBM cannot hold."""
+        if state.num_items % self.mesh.shape["model"] != 0:
+            return None  # uneven item shards: evaluator's scores path
+        from cdae_tpu.parallel.topk import distributed_topk_unrated
+
+        scores = self.batch_scores(state, uids, rated_items, rated_mask)
+        ids, _ = distributed_topk_unrated(
+            self.mesh, scores, jnp.asarray(np.asarray(rated_items)), k
+        )
+        return ids
+
     def predict(self, state: CDAEState, users, items):
         return self.inner.predict(state, users, items)
 

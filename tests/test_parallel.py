@@ -152,6 +152,27 @@ def test_sharded_trainer_end_to_end(mesh):
     assert abs(r["R@10"] - s["R@10"]) < 1e-6
 
 
+def test_sharded_cdae_batch_topk_distributed(mesh):
+    """ShardedCDAE.batch_topk (per-shard top-k + 'model'-axis merge) must
+    return exactly the masked top-k of its own sharded scores."""
+    from cdae_tpu.ops.topk import topk_unrated
+    from cdae_tpu.parallel.trainer import ShardedCDAE
+
+    data = _tiny(num_users=32, num_items=64, seed=8)
+    model = ShardedCDAE(CDAEConfig(num_dim=8, loss="SQUARE", batch_size=16,
+                                   use_pallas=False, dense_mode=False),
+                        mesh=mesh)
+    state = model.reset(data, seed=0)
+    pb = state.padded
+    uids = np.arange(16)
+    ri, rm = pb.items[uids], pb.mask[uids]
+    scores = model.batch_scores(state, uids, ri, rm)
+    ref, _ = topk_unrated(jnp.asarray(np.asarray(scores)),
+                          jnp.asarray(ri), 10)
+    got = model.batch_topk(state, uids, ri, rm, 10)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_sharded_dense_matches_single_chip(mesh):
     """Item-sharded dense slabs must match the single-chip dense trajectory."""
     from cdae_tpu.parallel.trainer import ShardedCDAE
