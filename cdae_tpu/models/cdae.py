@@ -647,6 +647,22 @@ def _batch_topk_impl(params, uids, rated_items, rated_mask, dense_rows,
     dense_R[uids]), 'fused_csr' (rated exclusion fused in-kernel from the
     padded CSR rows via per-block compact query lists — NO (B, I) mask
     anywhere), 'streaming' (XLA scan, masks via block-local scatter)."""
+    enc_rows = None
+    if not cfg.asymmetric and cfg.packed_io is not False:
+        # serving-side lane-packed encode gather: the raw D=50 row gather
+        # runs 2-4.5x below the 64-lane-aligned rate (the train step's
+        # packed_io finding) and was ~20 ms of the B=1024/1M-item serving
+        # call; the one (I, 64) pack costs ~1 ms per call and amortizes
+        # over the whole batch
+        D = params["W"].shape[1]
+        P64 = max(64, -(-(D + 1) // 64) * 64)
+        WB = jnp.concatenate(
+            [params["W"], params["b_prime"][:, None],
+             jnp.zeros((num_items, P64 - D - 1), params["W"].dtype)],
+            axis=1,
+        )
+        items_c = jnp.clip(rated_items, 0, num_items - 1)
+        enc_rows = WB[items_c][..., :D]
     z = _hidden(
         params,
         uids,
@@ -655,6 +671,7 @@ def _batch_topk_impl(params, uids, rated_items, rated_mask, dense_rows,
          else rated_mask),
         1.0,
         cfg,
+        rows=enc_rows,
     )
     table = params["V"] if cfg.asymmetric else params["W"]
     if mode == "streaming":
