@@ -1513,6 +1513,36 @@ int run_bench_sim(int argc, char** argv) {
     train[u].assign(s.begin(), s.end());
     for (int i : train[u]) by_item[(size_t)i].push_back((int)u);
   }
+  if (method == "POP") {
+    // popularity recommend throughput: sorted count list, walk skipping
+    // rated until 10 (ref popularity.hpp:23-41 + reset :43-61)
+    std::vector<std::pair<double, int>> pop(I);
+    for (size_t i = 0; i < I; ++i)
+      pop[i] = {(double)by_item[i].size(), (int)i};
+    std::sort(pop.begin(), pop.end(),
+              [](auto& a, auto& b) { return a.first > b.first; });
+    double best_dt = 1e30;
+    size_t sink = 0;
+    for (size_t rep = 0; rep < reps; ++rep) {
+      auto t0 = std::chrono::steady_clock::now();
+      for (size_t u = 0; u < U; ++u) {
+        std::unordered_set<int> rated(train[u].begin(), train[u].end());
+        size_t got = 0;
+        for (auto& pr : pop) {
+          if (got == 10) break;
+          if (!rated.count(pr.second)) { sink += (size_t)pr.second; ++got; }
+        }
+      }
+      double dt = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - t0).count();
+      best_dt = std::min(best_dt, dt);
+    }
+    std::printf(
+        "{\"method\": \"POP\", \"rec_users_per_sec\": %.1f, \"U\": %zu, "
+        "\"I\": %zu, \"checksum\": %zu}\n",
+        (double)U / best_dt, U, I, sink);
+    return 0;
+  }
   const auto& idx_data = method == "ITEMCF" ? by_item : train;
   const auto& data_idx = method == "ITEMCF" ? train : by_item;
 
