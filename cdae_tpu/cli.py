@@ -101,6 +101,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="per-iteration finite-params check; restores the "
                         "last --checkpoint on a non-finite state (in-run "
                         "fault handling, TPU-build superset)")
+    p.add_argument("--loss_sample", type=int, default=0,
+                   help="subsample the per-iteration train-loss estimate "
+                        "to the first N instances (the reference's "
+                        "data_loss sample_size knob; 0 = full dataset)")
     p.add_argument("--sweep_limit", type=int, default=0,
                    help="sweep task: run only the first N grid points")
     p.add_argument("--trace_dir", default="",
@@ -344,7 +348,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     solver = solver_cls(model, max_iteration=args.max_iters,
                         eval_iterations=args.eval_iters, seed=args.seed,
                         trace_dir=args.trace_dir or None,
-                        guard=args.guard_nan)
+                        guard=args.guard_nan,
+                        loss_sample_size=args.loss_sample)
     if isinstance(solver, SGDSolver):
         solver.learn_rate0 = args.learn_rate
 

@@ -62,6 +62,7 @@ class Solver:
         trace_dir: Optional[str] = None,
         guard: bool = False,
         guard_max_restores: int = 1,
+        loss_sample_size: int = 0,
     ):
         self.model = model
         self.max_iteration = int(max_iteration)
@@ -79,6 +80,13 @@ class Solver:
         # DETERMINISTIC divergence still surfaces instead of looping.
         self.guard = bool(guard)
         self.guard_max_restores = int(guard_max_restores)
+        # subsample the per-iteration train-loss estimate (forwarded to
+        # model.current_loss(state, n) — the reference's data_loss
+        # sample_size knob, model_base.hpp:28-39): at config-5 scale the
+        # FULL data_loss re-forwards every batch each iteration and can
+        # rival the training step itself; 0 = full dataset (reference
+        # default)
+        self.loss_sample_size = int(loss_sample_size)
         self.state = None
         self.history: List[Dict[str, float]] = []
 
@@ -209,7 +217,8 @@ class Solver:
                         + ("" if not checkpoint_path else
                            f" after {restores} restore(s)")
                     )
-                train_loss = self.model.current_loss(self.state)
+                train_loss = self.model.current_loss(
+                    self.state, self.loss_sample_size)
                 iteration += 1
                 if iteration % self.eval_iterations == 0:
                     self._eval_row(
@@ -258,9 +267,11 @@ class SGDSolver(Solver):
         trace_dir: Optional[str] = None,
         guard: bool = False,
         guard_max_restores: int = 1,
+        loss_sample_size: int = 0,
     ):
         super().__init__(model, max_iteration, eval_iterations, seed, verbose,
-                         trace_dir, guard, guard_max_restores)
+                         trace_dir, guard, guard_max_restores,
+                         loss_sample_size)
         self.learn_rate0 = learn_rate
         self.lambda_ = lambda_
         self.adaptive = adaptive
