@@ -128,6 +128,10 @@ def main():
 
     import jax
 
+    from cdae_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # persistent XLA cache (CDAE_COMPILE_CACHE=off to skip)
+
     from cdae_tpu.models.cdae import CDAE, CDAEConfig
 
     data = synthetic_interactions(U, I, deg)

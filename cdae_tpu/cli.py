@@ -274,6 +274,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from cdae_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # persistent XLA cache: cold-start compiles replay
+    # ~10x faster across runs (CDAE_COMPILE_CACHE=off to disable)
     eval_types = [e.strip() for e in args.eval.split(",") if e.strip()]
     if args.rel_threshold != 4.0:
         from cdae_tpu.evaluation import Evaluation
