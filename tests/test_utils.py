@@ -68,3 +68,19 @@ def test_line_search_quadratic():
     step, f_new = line_search(f, x, -grad, grad, step0=1.0)
     assert f_new < f(x)
     assert 0 < step <= 1.0
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """compile_cache.enable points jax at the dir (env wins; off disables)."""
+    import jax
+
+    from cdae_tpu.utils.compile_cache import enable
+
+    d = str(tmp_path / "xla")
+    monkeypatch.delenv("CDAE_COMPILE_CACHE", raising=False)
+    assert enable(d) == d
+    assert jax.config.jax_compilation_cache_dir == d
+    import os
+    assert os.path.isdir(d)
+    monkeypatch.setenv("CDAE_COMPILE_CACHE", "off")
+    assert enable() is None
