@@ -245,7 +245,9 @@ def _fused_topk_kernel(z_ref, w_ref, bp_ref, r_ref, ids_ref, vals_ref,
     expressible on this Mosaic target: static slices of kernel refs hang
     the remote compiler; slicing loaded VALUES trips "Invalid input
     layout" on the post-slice broadcast and then a compiler assertion
-    (limits[i] <= dim(i)) — see BASELINE.md."""
+    (limits[i] <= dim(i)) — see BASELINE.md. In-kernel jax.lax.top_k
+    (which would replace the k extraction rounds with one pass) is an
+    Unimplemented Mosaic primitive (probed round 5)."""
     j = pl.program_id(0)
     B = z_ref.shape[0]
     NEG = jnp.float32(-3.0e38)
