@@ -213,3 +213,24 @@ def test_guard_surfaces_deterministic_divergence(splits, tmp_path):
     with pytest.raises(RuntimeError, match="restore"):
         solver.train(train, test, ["TOPN"],
                      checkpoint_path=ckpt_path, checkpoint_every=2)
+
+
+def test_solver_loss_sample_size(splits):
+    """Solver(loss_sample_size=n) logs the SUBSAMPLED train loss — the
+    reference's data_loss(sample_size) protocol wired through the loop
+    (model_base.hpp:28-39; honored by LinearModel)."""
+    from cdae_tpu.models.linear import LinearModel, LinearModelConfig
+
+    train, test = splits
+    full = Solver(LinearModel(LinearModelConfig(batch_size=64)),
+                  max_iteration=2, eval_iterations=2, seed=0, verbose=False)
+    full.train(train, test, [])
+    sub = Solver(LinearModel(LinearModelConfig(batch_size=64)),
+                 max_iteration=2, eval_iterations=2, seed=0, verbose=False,
+                 loss_sample_size=20)
+    sub.train(train, test, [])
+    assert 0.0 < sub.history[-1]["train_loss"] < full.history[-1]["train_loss"]
+    # and the subsampled value matches a direct data_loss call
+    model = sub.model
+    expect = model.current_loss(sub.state, 20)
+    assert abs(sub.history[-1]["train_loss"] - expect) < 1e-6
