@@ -16,7 +16,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,7 +63,6 @@ def main():
     print(f"B={B} D={D} I={I} mean_len={lens.mean():.0f} max={lens.max()}")
 
     variants = args.variants.split(",")
-    results = {}
     ref_ids = None
     if "dense" in variants:
         blk = _fused_topk_block(B, 4096, 10)
@@ -72,7 +70,6 @@ def main():
                    args.reps)
         ids_d, _ = fused_topk_scores(z, W, bp, densej, k=10)
         ref_ids = np.asarray(ids_d)
-        results["dense"] = dt
         print(f"dense-mask kernel (block {blk}): {dt*1e3:.2f} ms "
               f"-> {B/dt:.0f} users/s")
     from cdae_tpu.ops.pallas_kernels import (
@@ -93,7 +90,6 @@ def main():
         ids_c, _ = fn()
         ok = (np.array_equal(np.asarray(ids_c), ref_ids)
               if ref_ids is not None else None)
-        results[name] = dt
         print(f"csr w={w} {merge} (block {blk}, host-qd {tq:.1f} ms once, "
               f"overflow={ov}): {dt*1e3:.2f} ms -> {B/dt:.0f} users/s  "
               f"ids==dense: {ok}")

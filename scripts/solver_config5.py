@@ -15,8 +15,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 from cdae_tpu.utils.compile_cache import enable as _enable_cache
 
 _enable_cache()  # persistent XLA cache (CDAE_COMPILE_CACHE=off to skip)
