@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 ADAGRAD_INIT = 1e-4  # ref: DMatrix::Constant(..., 0.0001) accumulators
@@ -100,15 +101,50 @@ def row_adagrad_delta(
     """Sparse per-row AdaGrad via delta scatter-ADD, f32 optimizer math.
     Delta-adds (never .set): zero-weight padding rows contribute zero
     deltas, so duplicate row ids cannot clobber a live update (scatter
-    order is undefined for duplicate .set)."""
+    order is undefined for duplicate .set).
+
+    Duplicate ids get SEQUENTIAL accumulator semantics within the call
+    (an exact segmented prefix over g², computed via one stable sort):
+    touch i of a row sees acc + sum of the EARLIER touches' g², exactly
+    like the reference's per-touch loop (cdae.hpp:230-257). The earlier
+    scheme gave every duplicate the PRE-call accumulator, so a hot item
+    appearing in t users' rows took t near-full-size steps against the
+    1e-4 init accumulator — measured −0.11 recall on the row_update
+    parity cell (a latent round-4 bug caught by the round-5 full-matrix
+    re-run; one-batch |dW| was 2.3x the dense path's)."""
     g32 = grad_rows.astype(jnp.float32)
     if use_adagrad:
         gsq = jnp.where(live, g32 * g32, 0.0)
-        a_rows = acc[rows] + gsq
+        n = rows.shape[0]
+        order = jnp.argsort(rows, stable=True)
+        r_s = rows[order]
+        q_s = gsq[order]
+        csum = jnp.cumsum(q_s, axis=0)  # (N, ...) running g² in sort order
+        idx = jnp.arange(n, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), r_s[1:] != r_s[:-1]]
+        )
+        start_idx = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, idx, 0)
+        )
+        csum_before_seg = jnp.where(
+            (start_idx > 0)[(...,) + (None,) * (gsq.ndim - 1)],
+            csum[jnp.maximum(start_idx - 1, 0)], 0.0,
+        )
+        # clamp: f32 cumsum cancellation can make the exclusive prefix
+        # slightly NEGATIVE (error ~1e-5·csum), which overwhelms the 1e-4
+        # accumulator init and NaNs the sqrt — observed as a full collapse
+        # of the row_update+pool parity cell (K=4096 pool contributions
+        # push csum into the hundreds)
+        excl_prefix = jnp.maximum((csum - q_s) - csum_before_seg, 0.0)
+        a_rows_s = acc[r_s] + excl_prefix + q_s
+        step_s = learn_rate * g32[order] / (beta + jnp.sqrt(a_rows_s))
+        live_s = (live[order] if getattr(live, "ndim", 0) else live)
+        delta_s = jnp.where(live_s, -step_s, 0.0).astype(param.dtype)
+        param = param.at[r_s].add(delta_s, mode="drop")
         acc = acc.at[rows].add(gsq, mode="drop")
-        step = learn_rate * g32 / (beta + jnp.sqrt(a_rows))
-    else:
-        step = learn_rate * g32
+        return param, acc
+    step = learn_rate * g32
     delta = jnp.where(live, -step, 0.0).astype(param.dtype)
     param = param.at[rows].add(delta, mode="drop")
     return param, acc

@@ -522,3 +522,40 @@ def test_is_rated_matches_naive_membership():
             rated_set = set(rated[b, : lengths[b]].tolist())
             want = np.array([x in rated_set for x in q_rows[b]])
             assert np.array_equal(got[b], want)
+
+
+def test_row_adagrad_delta_sequential_duplicates():
+    """Duplicate row ids within one call must see SEQUENTIAL accumulator
+    semantics (each touch includes the earlier touches' g²) — the
+    reference's per-touch loop (cdae.hpp:230-257). The old scheme gave
+    every duplicate the pre-call accumulator: a hot item touched t times
+    took t near-full steps against the 1e-4 init (−0.11 recall on the
+    row_update parity cell, round 5)."""
+    import numpy as np
+
+    from cdae_tpu.solver.optimizer import ADAGRAD_INIT, row_adagrad_delta
+
+    rng = np.random.default_rng(0)
+    N, D = 7, 3
+    rows = np.array([2, 5, 2, 2, 6, 5, 1, 0], np.int32)
+    grads = rng.standard_normal((len(rows), D)).astype(np.float32)
+    live = np.ones((len(rows), D), bool)
+    live[7] = False  # dead contribution must not move anything
+    p0 = rng.standard_normal((N, D)).astype(np.float32)
+    a0 = np.full((N, D), ADAGRAD_INIT, np.float32)
+    lr, beta = 0.1, 0.5
+
+    p, a = row_adagrad_delta(
+        jnp.asarray(p0), jnp.asarray(a0), jnp.asarray(rows),
+        jnp.asarray(grads), jnp.asarray(live), lr, beta, True)
+
+    # python sequential reference: touches applied in list order
+    pe, ae = p0.copy(), a0.copy()
+    for i, r in enumerate(rows):
+        if not live[i].any():
+            continue
+        g = grads[i]
+        ae[r] += g * g
+        pe[r] -= lr * g / (beta + np.sqrt(ae[r]))
+    np.testing.assert_allclose(np.asarray(a), ae, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p), pe, rtol=1e-5, atol=1e-6)
