@@ -23,11 +23,16 @@ def enable(cache_dir: str | None = None) -> str | None:
     path = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "cdae_tpu_xla"
     )
-    os.makedirs(path, exist_ok=True)
-    import jax
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
 
-    jax.config.update("jax_compilation_cache_dir", path)
-    # cache everything (default only caches compiles > 1s; the tunnel's
-    # remote-compile round trips make even small programs worth caching)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything (default only caches compiles > 1s; the
+        # tunnel's remote-compile round trips make even small programs
+        # worth caching)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # noqa: BLE001 — the cache is an optimization;
+        # a read-only HOME or an old jax must never break an entry point
+        return None
     return path
